@@ -1,0 +1,220 @@
+"""Golden tests: the XLA matcher vs the float64 numpy oracle."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from yag_slam_tpu.core.scan import LocalizedRangeScan
+from yag_slam_tpu.matching import correlation as C
+from yag_slam_tpu.matching.matcher import CorrelativeScanMatcher
+
+from oracle import (
+    oracle_build_grid,
+    oracle_find_best_pose,
+    oracle_kernel,
+    oracle_match_scan,
+    oracle_validate,
+)
+
+# Small-grid config so CPU tests stay fast (range_threshold shrinks the
+# correlation grid; all other semantics are unchanged).
+TEST_CFG = {
+    "range_threshold": 5.0,
+    "resolution": 0.02,
+    "search_size": 0.5,
+    "smear_deviation": 0.05,
+    "coarse_search_angle_offset": 0.349,
+    "coarse_angle_resolution": 0.0349,
+    "fine_search_angle_resolution": 0.00349,
+    "use_response_expansion": True,
+}
+
+
+def make_room_scan(x, y, t, n_beams=180, seed=0, room=4.0):
+    """Scan of a square room of half-size `room` centered at origin, taken
+    from pose (x, y, t), with small range noise."""
+    rng = np.random.default_rng(seed)
+    angles = np.linspace(-np.pi, np.pi, n_beams, endpoint=False)
+    world_angles = angles + t
+    ranges = np.empty(n_beams)
+    for i, a in enumerate(world_angles):
+        c, s = np.cos(a), np.sin(a)
+        ds = []
+        if c > 1e-9:
+            ds.append((room - x) / c)
+        if c < -1e-9:
+            ds.append((-room - x) / c)
+        if s > 1e-9:
+            ds.append((room - y) / s)
+        if s < -1e-9:
+            ds.append((-room - y) / s)
+        ranges[i] = min(d for d in ds if d > 0)
+    ranges += rng.normal(0, 0.003, n_beams)
+    return LocalizedRangeScan(
+        ranges, -np.pi, np.pi, 2 * np.pi / n_beams, 0.0, 30.0, 5.0, x, y, t
+    )
+
+
+def test_kernel_matches_oracle():
+    k2 = C.gaussian_kernel_2d(0.02, 0.05)
+    ko = oracle_kernel(0.02, 0.05)
+    # 4*np.round(0.05/0.02)+1 = 9 (banker's rounding: round(2.4999...) = 2)
+    assert k2.shape == ko.shape == (9, 9)
+    np.testing.assert_allclose(k2, ko, atol=1e-14)
+    # size formula: 4*round(smear/res)+1
+    assert C.gaussian_kernel_2d(0.01, 0.05).shape == (21, 21)
+    assert C.gaussian_kernel_2d(0.05, 0.05).shape == (5, 5)
+
+
+def test_validation_runs_match_oracle():
+    rng = np.random.default_rng(7)
+    scan = make_room_scan(0.3, -0.2, 0.4, n_beams=240, seed=3)
+    wx, wy = scan.points()
+    n = len(wx)
+    for trial in range(5):
+        vx, vy = rng.uniform(-2, 2, 2)
+        ox_, oy_ = oracle_validate(wx, wy, vx, vy)
+
+        anchor, term, has = C.segment_validation_runs(wx, wy, n)
+        keep = np.asarray(
+            C.keep_mask_for_viewpoint(
+                jnp.asarray(wx), jnp.asarray(wy),
+                jnp.asarray(anchor), jnp.asarray(term), jnp.asarray(has),
+                jnp.ones(n, bool), vx, vy,
+            )
+        )
+        np.testing.assert_allclose(wx[keep], ox_, atol=1e-12)
+        np.testing.assert_allclose(wy[keep], oy_, atol=1e-12)
+
+
+def test_grid_build_matches_oracle():
+    res, smear, G = 0.02, 0.05, 256
+    ox = oy = -2.0
+    rng = np.random.default_rng(11)
+    pts = [
+        (rng.uniform(-2.2, 3.2, 60), rng.uniform(-2.2, 3.2, 60)) for _ in range(3)
+    ]
+    kernel = oracle_kernel(res, smear)
+    ref = oracle_build_grid(pts, ox, oy, G, res, kernel)
+
+    wx = jnp.asarray(np.concatenate([p[0] for p in pts]))
+    wy = jnp.asarray(np.concatenate([p[1] for p in pts]))
+    got = np.asarray(
+        C.build_correlation_grid(
+            wx, wy, jnp.ones(len(wx), bool), ox, oy,
+            grid_size=G, res=res, k1=C.gaussian_kernel_1d(res, smear),
+            dtype=jnp.float64,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-13)
+
+
+@pytest.mark.parametrize("penalize", [True, False])
+@pytest.mark.parametrize("symmetric", [True, False])
+def test_find_best_pose_matches_oracle(penalize, symmetric):
+    res = 0.02
+    G = 256
+    rng = np.random.default_rng(13)
+    cx, cy, ct = 0.55, -0.35, 0.3
+    ox = cx - 0.5 * (G - 1) * res
+    oy = cy - 0.5 * (G - 1) * res
+    pts = [(rng.uniform(cx - 2, cx + 2, 150), rng.uniform(cy - 2, cy + 2, 150))]
+    kernel = oracle_kernel(res, 0.05)
+    cgrid = oracle_build_grid(pts, ox, oy, G, res, kernel)
+
+    # query points: a noisy ring
+    a = np.linspace(-np.pi, np.pi, 120, endpoint=False)
+    px = 1.5 * np.cos(a) + rng.normal(0, 0.01, 120)
+    py = 1.5 * np.sin(a) + rng.normal(0, 0.01, 120)
+
+    args = (cx, cy, ct, ox, oy, 0.25, res * 2, 0.1745, 0.0349, res, penalize)
+    ref = oracle_find_best_pose(cgrid, px, py, *args, symmetric=symmetric)
+
+    spec = C.LatticeSpec.from_search(cx, cy, ct, 0.25, res * 2, 0.1745, 0.0349)
+    qflat = jnp.concatenate(
+        [C.quantize_grid(jnp.asarray(cgrid)).ravel(), jnp.zeros(1)]
+    )
+    got = C.find_best_pose(
+        qflat, jnp.asarray(px), jnp.asarray(py), float(len(px)),
+        cx, cy, ct, ox, oy,
+        spec=spec, xy_size=0.25, xy_res=res * 2, ang_size=0.1745,
+        ang_res=0.0349, grid_size=G, grid_res=res, penalize=penalize,
+        dtype=jnp.float64, symmetric=symmetric,
+    )
+    got = [float(v) for v in got]
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+
+def test_full_match_scan_matches_oracle():
+    base_scans = [
+        make_room_scan(0.1 * i, 0.05 * i, 0.05 * i, seed=20 + i) for i in range(3)
+    ]
+    query = make_room_scan(0.35, 0.18, 0.12, seed=30)
+    # perturb the query's belief so the matcher has work to do
+    true_pose = query.corrected_pose
+    from yag_slam_tpu.core.transform import Transform
+
+    query.corrected_pose = Transform.from_xyt(
+        true_pose.x + 0.06, true_pose.y - 0.04, true_pose.euler[-1] + 0.03
+    )
+
+    matcher = CorrelativeScanMatcher(TEST_CFG, dtype=jnp.float64)
+    res = matcher.match_scan(query, base_scans, penalty=True, do_fine=True)
+
+    qp = query.corrected_pose
+    ref_resp, ref_pose, ref_cov, _ = oracle_match_scan(
+        query.points_local(),
+        (qp.x, qp.y, qp.euler[-1]),
+        [s.points() for s in base_scans],
+        dict(TEST_CFG),
+        penalty=True,
+        do_fine=True,
+    )
+
+    assert np.isclose(res.response, ref_resp, rtol=1e-9)
+    got_pose = (res.best_pose.x, res.best_pose.y, res.best_pose.euler[-1])
+    np.testing.assert_allclose(got_pose, ref_pose, atol=1e-9)
+    # TH sits behind two floor-quantization boundaries; 1-ulp kernel
+    # differences (separable product vs joint exp) can flip a single cell,
+    # so the theta variance gets a looser tolerance than the xy block.
+    np.testing.assert_allclose(res.covariance, ref_cov, rtol=1e-4, atol=1e-12)
+    # and the matcher should have moved the pose estimate toward the truth
+    assert abs(res.best_pose.x - true_pose.x) < 0.03
+    assert abs(res.best_pose.y - true_pose.y) < 0.03
+
+
+def test_match_scan_recovers_offset():
+    """End-to-end sanity: a query whose belief is offset from truth gets
+    pulled back within a lattice step."""
+    base = [make_room_scan(0, 0, 0, seed=40)]
+    query = make_room_scan(0.1, -0.08, 0.05, seed=41)
+    from yag_slam_tpu.core.transform import Transform
+
+    query.corrected_pose = Transform.from_xyt(0.04, -0.02, 0.01)
+    matcher = CorrelativeScanMatcher(TEST_CFG, dtype=jnp.float64)
+    res = matcher.match_scan(query, base, penalty=False, do_fine=True)
+    assert res.response > 0.5
+    assert abs(res.best_pose.x - 0.1) < 0.03
+    assert abs(res.best_pose.y - (-0.08)) < 0.03
+    assert abs(res.best_pose.euler[-1] - 0.05) < 0.02
+
+
+def test_reference_smoke_scenario():
+    """The reference's only test (/root/reference/test.py:23-48): 230-beam
+    constant-range scan, query displaced to (1.0, 0, 1.57)."""
+    cfg = dict(TEST_CFG, range_threshold=6.0)
+    base = [
+        LocalizedRangeScan([3.0] * 230, -1.0, 1.0, np.deg2rad(0.5), 0, 10, 5, 0, 0, 0)
+    ]
+    query = LocalizedRangeScan(
+        [3.0] * 230, -1.0, 1.0, np.deg2rad(0.5), 0, 10, 5, 1.0, 0, 1.57
+    )
+    matcher = CorrelativeScanMatcher(cfg, dtype=jnp.float64)
+    res = matcher.match_scan(query, base, penalty=True, do_fine=True)
+    # The 1 m displacement is outside the ±0.25 m search window, so there is
+    # no overlap: response 0 and a 0/0 covariance — exactly what the
+    # reference spec produces for this input (the reference test only
+    # prints; /root/reference/test.py:38-43).
+    assert np.isfinite(res.response)
+    assert np.isfinite(
+        [res.best_pose.x, res.best_pose.y, res.best_pose.euler[-1]]
+    ).all()

@@ -1,0 +1,75 @@
+"""Matcher configuration.
+
+The reference layers Python dicts onto a C++ config object
+(`default_config` / `default_config_loop` / `make_config`,
+/root/reference/yag_slam/helpers.py:339-376).  Here the config is a plain
+frozen dataclass with the same 11 keys and defaults, so it serializes into
+checkpoints exactly like the reference's (`serde` registers the config type
+with its public fields, /root/reference/yag_slam/serde.py:88-92).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ScanMatcherConfig:
+    """Same key set and defaults as the reference's `default_config`
+    (/root/reference/yag_slam/helpers.py:339-351)."""
+
+    angle_variance_penalty: float = 0.3
+    distance_variance_penalty: float = 0.5
+    coarse_search_angle_offset: float = 0.349
+    coarse_angle_resolution: float = 0.0349
+    fine_search_angle_resolution: float = 0.00349
+    use_response_expansion: bool = True
+    range_threshold: float = 20.0
+    minimum_angle_penalty: float = 0.9
+    search_size: float = 0.5
+    resolution: float = 0.01
+    smear_deviation: float = 0.05
+
+    def replace(self, **kw) -> "ScanMatcherConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def validate(self) -> "ScanMatcherConfig":
+        lo, hi = 0.5 * self.resolution, 10.0 * self.resolution
+        if not (lo <= self.smear_deviation <= hi):
+            # same constraint as /root/reference/yag_slam/helpers.py:370
+            raise ValueError(
+                f"Smear deviation must be between {lo} and {hi}, "
+                f"got {self.smear_deviation}"
+            )
+        return self
+
+
+# Same values as /root/reference/yag_slam/helpers.py:339-351
+default_config = ScanMatcherConfig().to_dict()
+
+# Same overrides as /root/reference/yag_slam/helpers.py:353-361
+default_config_loop = dict(
+    default_config,
+    coarse_search_angle_offset=0.349,
+    coarse_angle_resolution=0.0349,
+    resolution=0.05,
+    search_size=4.0,
+    smear_deviation=0.05,
+)
+
+
+def make_config(d: dict | None = None, loop: bool = False) -> ScanMatcherConfig:
+    """Overlay a user dict on the defaults and validate, mirroring
+    /root/reference/yag_slam/helpers.py:364-376."""
+    params = dict(default_config_loop if loop else default_config)
+    if d:
+        params.update({k: v for k, v in d.items() if k != "___name"})
+    return ScanMatcherConfig(**params).validate()
+
+
+def print_config(config) -> None:
+    for field in dataclasses.fields(config):
+        print(f"{field.name}: {getattr(config, field.name)}")

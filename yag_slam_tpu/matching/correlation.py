@@ -1,0 +1,370 @@
+"""Correlation-grid scan matching: the numeric core, as batched XLA programs.
+
+Behavioral spec: the reference's numba kernels
+(/root/reference/yag_slam/helpers.py — `calculate_kernel`:87-97,
+`add_scan_to_grid`:123-131, `score_grid_points_on_grid`:135-146,
+`find_best_pose`:156-295, `validate_points`:298-329, `world_to_grid`:81-83).
+This module reproduces their *semantics* (banker's rounding into grid cells,
+int-truncated 100x scoring, tie-averaged argmax within 1e-8, windowed
+covariance with the reference's half-open windows) but is architected for
+TPU rather than translated:
+
+- The whole (x, y, theta) candidate lattice is scored in one batched
+  program (gathers + reductions) instead of a `prange` triple loop.
+- The Gaussian "max smear" grid build exploits that the kernel is a product
+  of two monotone 1-D factors, so max-compositing the 2-D kernel around
+  every occupied cell equals two separable 1-D weighted max-dilations —
+  O(K) passes over the grid instead of scattering K^2 cells per point.
+- The sequential back-facing-surface filter (`validate_points`) is split:
+  run segmentation depends only on inter-point distances, which are
+  rigid-invariant, so it is computed once per scan on the host
+  (:func:`segment_validation_runs`) and the per-match, viewpoint-dependent
+  part reduces to one vectorized cross-product side test on device
+  (:func:`keep_mask_for_viewpoint`).
+
+All device functions take a `dtype` (float32 on TPU; tests run float64 on
+CPU to pin down golden agreement with the float64 oracle).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Smear kernel
+# ---------------------------------------------------------------------------
+
+def kernel_half_size(res: float, smear_deviation: float) -> int:
+    """Half-width of the smear kernel; full size = 4*round(smear/res)+1
+    (/root/reference/yag_slam/helpers.py:88)."""
+    size = int(4 * np.round(smear_deviation / res) + 1)
+    return size // 2
+
+
+def gaussian_kernel_1d(res: float, smear_deviation: float) -> np.ndarray:
+    """1-D factor of the separable smear kernel.
+
+    The reference's 2-D kernel is exp(-0.5*((i*res)^2+(j*res)^2)/sigma^2)
+    (/root/reference/yag_slam/helpers.py:87-97), which factorizes exactly as
+    k1[i]*k1[j].
+    """
+    h = kernel_half_size(res, smear_deviation)
+    offs = (np.arange(2 * h + 1) - h) * res
+    return np.exp(-0.5 * offs**2 / smear_deviation**2)
+
+
+def gaussian_kernel_2d(res: float, smear_deviation: float) -> np.ndarray:
+    k1 = gaussian_kernel_1d(res, smear_deviation)
+    return np.outer(k1, k1)
+
+
+# ---------------------------------------------------------------------------
+# Point validation (back-facing surface filter)
+# ---------------------------------------------------------------------------
+
+def segment_validation_runs(px, py, n):
+    """Host-side, pose-independent half of the reference's `validate_points`
+    (/root/reference/yag_slam/helpers.py:298-329).
+
+    The reference walks the beam points in order, grouping them into runs
+    that end when the current point moves >0.2 m from the run's anchor; the
+    run is kept iff the side test of (terminal - anchor) x (viewpoint -
+    anchor) is positive.  Run boundaries depend only on pairwise point
+    distances — invariant under the scan's rigid pose — so we segment once
+    per scan here and leave only the side test for the device.
+
+    Returns per-point arrays over the first `n` (compacted) points:
+      anchor_idx, term_idx : int32 — run anchor/terminal point indices
+      has_run              : bool  — point belongs to a flushed run
+    Point 0 and any trailing unflushed run have has_run=False (the reference
+    never emits them).
+    """
+    anchor = np.zeros(n, dtype=np.int32)
+    term = np.zeros(n, dtype=np.int32)
+    has = np.zeros(n, dtype=bool)
+    if n < 2:
+        return anchor, term, has
+    msd = 0.2**2
+    fp = 0
+    run_start = 1
+    for i in range(1, n):
+        if (px[fp] - px[i]) ** 2 + (py[fp] - py[i]) ** 2 > msd:
+            anchor[run_start : i + 1] = fp
+            term[run_start : i + 1] = i
+            has[run_start : i + 1] = True
+            fp = i
+            run_start = i + 1
+    return anchor, term, has
+
+
+def keep_mask_for_viewpoint(
+    wx, wy, anchor_idx, term_idx, has_run, valid, vx, vy
+):
+    """Device-side half of `validate_points`: per-point keep decision.
+
+    `wx, wy` are the scan's points in *world* frame (..., P); anchor/term
+    index into the same point axis.  A point is kept iff its run was flushed
+    and cross(term - anchor, viewpoint - anchor) > 0 — algebraically equal
+    to the reference's line-side test `ss > 0`
+    (/root/reference/yag_slam/helpers.py:317-324).
+    """
+    ax = jnp.take_along_axis(wx, anchor_idx, axis=-1)
+    ay = jnp.take_along_axis(wy, anchor_idx, axis=-1)
+    tx = jnp.take_along_axis(wx, term_idx, axis=-1)
+    ty = jnp.take_along_axis(wy, term_idx, axis=-1)
+    ss = (tx - ax) * (vy - ay) - (ty - ay) * (vx - ax)
+    return has_run & valid & (ss > 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Correlation grid build
+# ---------------------------------------------------------------------------
+
+def world_to_grid_idx(w, origin, res):
+    """Banker's-rounded cell index, matching the reference's
+    np.round-then-int (/root/reference/yag_slam/helpers.py:81-83 and the
+    int32 cast at /root/reference/yag_slam/scan_matching.py:196-198)."""
+    return jnp.round((w - origin) / res).astype(jnp.int32)
+
+
+def build_correlation_grid(
+    wx, wy, keep, ox, oy, *, grid_size: int, res: float, k1: np.ndarray, dtype
+):
+    """Build the smeared correlation grid from kept world points.
+
+    Semantics match `add_scan_to_grid` (/root/reference/yag_slam/helpers.py:
+    123-131): points whose center cell is out of bounds are dropped whole;
+    in-bounds points composite the kernel by max, clipped at the borders.
+
+    Implementation: scatter point indicators, then two separable weighted
+    max-dilation passes (see module docstring).
+    """
+    G = grid_size
+    gx = world_to_grid_idx(wx.ravel(), ox, res)
+    gy = world_to_grid_idx(wy.ravel(), oy, res)
+    inb = (gx >= 0) & (gx < G) & (gy >= 0) & (gy < G) & keep.ravel()
+    lin = jnp.where(inb, gy * G + gx, G * G)
+    occ = (
+        jnp.zeros(G * G + 1, dtype=dtype)
+        .at[lin]
+        .max(jnp.ones_like(lin, dtype=dtype))[: G * G]
+        .reshape(G, G)
+    )
+
+    k = jnp.asarray(k1, dtype=dtype)
+    h = (len(k1) - 1) // 2
+
+    def dilate_last_axis(a):
+        pad = [(0, 0)] * (a.ndim - 1) + [(h, h)]
+        ap = jnp.pad(a, pad)
+        out = None
+        for d in range(2 * h + 1):
+            shifted = jax.lax.slice_in_dim(ap, d, d + a.shape[-1], axis=a.ndim - 1)
+            term = k[d] * shifted
+            out = term if out is None else jnp.maximum(out, term)
+        return out
+
+    cgrid = dilate_last_axis(occ)          # smear along x (columns)
+    cgrid = dilate_last_axis(cgrid.T).T    # smear along y (rows)
+    return cgrid
+
+
+def quantize_grid(cgrid):
+    """floor(100 * value): the reference scores with int-truncated 100x grid
+    lookups (/root/reference/yag_slam/helpers.py:143-144).  Values are
+    non-negative so trunc == floor; precomputing it once makes every lattice
+    gather exact and cheap."""
+    return jnp.floor(cgrid * 100.0)
+
+
+# ---------------------------------------------------------------------------
+# Candidate-lattice scoring + best-pose reduction
+# ---------------------------------------------------------------------------
+
+class LatticeSpec(NamedTuple):
+    """Static lattice dimensions (candidate counts) for one search pass."""
+
+    nx: int
+    ny: int
+    nt: int
+
+    @classmethod
+    def from_search(cls, cx, cy, ct, xy_size, xy_res, ang_size, ang_res):
+        # np.arange length semantics (the reference builds candidate arrays
+        # with np.arange at /root/reference/yag_slam/helpers.py:177-179).
+        nx = len(np.arange(-xy_size + cx, xy_size + cx, xy_res))
+        ny = len(np.arange(-xy_size + cy, xy_size + cy, xy_res))
+        nt = len(np.arange(-ang_size + ct, ang_size + ct, ang_res))
+        return cls(nx, ny, nt)
+
+
+def score_lattice(
+    qgrid_flat,
+    pts_x,
+    pts_y,
+    n_pts,
+    cx,
+    cy,
+    ct,
+    ox,
+    oy,
+    *,
+    spec: LatticeSpec,
+    xy_size: float,
+    xy_res: float,
+    ang_size: float,
+    ang_res: float,
+    grid_size: int,
+    grid_res: float,
+    penalize: bool,
+    dtype,
+    dist_var_penalty: float = 0.5,
+    ang_var_penalty: float = 1.0,
+    symmetric: bool = True,
+):
+    """Score the full candidate lattice.
+
+    Reproduces the response formula of `find_best_pose`
+    (/root/reference/yag_slam/helpers.py:191-212): per candidate pose the
+    query points are rotated, offset, snapped to cells, looked up with
+    int-truncated 100x scaling, summed, normalized by the query point count
+    and scaled by the (possibly negative — the reference comments out the
+    clamps) distance/angle penalties.
+
+    Returns (out, xvals, yvals, tvals) with out shaped (nx, ny, nt).
+    """
+    NX, NY, NT = spec
+    G = grid_size
+
+    xvals = (cx - xy_size) + jnp.arange(NX, dtype=dtype) * xy_res
+    yvals = (cy - xy_size) + jnp.arange(NY, dtype=dtype) * xy_res
+    tvals = (ct - ang_size) + jnp.arange(NT, dtype=dtype) * ang_res
+
+    c, s = jnp.cos(tvals), jnp.sin(tvals)
+    rx = c[:, None] * pts_x[None, :] - s[:, None] * pts_y[None, :]  # (NT, P)
+    ry = s[:, None] * pts_x[None, :] + c[:, None] * pts_y[None, :]
+
+    # Cell index depends on (offset + rotated point) jointly (the reference
+    # rounds the summed world coordinate), so build the two index factors on
+    # their own axes: gx over (NX, NT, P), gy over (NY, NT, P).
+    gx = world_to_grid_idx(xvals[:, None, None] + rx[None], ox, grid_res)
+    gy = world_to_grid_idx(yvals[:, None, None] + ry[None], oy, grid_res)
+
+    inb_x = (gx >= 0) & (gx < G)
+    inb_y = (gy >= 0) & (gy < G)
+
+    # (NX, NY, NT, P) linear indices; out-of-bounds -> sentinel slot holding 0.
+    lin = gy[None, :, :, :] * G + gx[:, None, :, :]
+    lin = jnp.where(inb_x[:, None] & inb_y[None, :], lin, G * G)
+    vals = jnp.take(qgrid_flat, lin, mode="clip")
+    raw = jnp.sum(vals, axis=-1)  # (NX, NY, NT) — integer-valued floats
+
+    if penalize:
+        if symmetric:
+            # Grid center in world coords; the reference uses shape*res/2,
+            # half a cell past the true center (helpers.py:173-174) —
+            # preserved.
+            sx = ox + G * grid_res / 2.0
+            sy = oy + G * grid_res / 2.0
+        else:
+            # `find_best_pose_non_symmetric` centers the distance penalty on
+            # the search center instead (helpers.py:450-452).
+            sx, sy = cx, cy
+        sqd = (xvals[:, None] - sx) ** 2 + (yvals[None, :] - sy) ** 2
+        dist_pen = 1.0 - 0.2 * sqd / (dist_var_penalty * grid_res)
+        sqa = (tvals - ct) ** 2
+        ang_pen = 1.0 - 0.2 * sqa / (ang_var_penalty * grid_res)
+        penalty = dist_pen[:, :, None] * ang_pen[None, None, :]
+    else:
+        penalty = jnp.ones((), dtype=dtype)
+
+    out = raw / n_pts * penalty / 100.0
+    return out, xvals, yvals, tvals
+
+
+def reduce_best_pose(out, xvals, yvals, tvals):
+    """Argmax + tie-averaging + windowed covariance, semantics of
+    /root/reference/yag_slam/helpers.py:214-295.
+
+    - first-maximum argmax in C order over (x, y, theta);
+    - best pose = mean of all candidates within 1e-8 of the max response;
+    - xy second moments over a [i-5, min(n-1, i+6)) x [j-5, ...) window at
+      the argmax theta slice, normalized by window response mass and by the
+      response (the reference's half-open, end-clipped windows are quirks we
+      preserve);
+    - theta second moment over the same style of window along theta at the
+      argmax (i, j).
+
+    Returns (response, bx, by, bt, XX, YY, XY, TH) — same 8-tuple as the
+    reference kernel.
+    """
+    NX, NY, NT = out.shape
+    flat = out.ravel()
+    m = jnp.argmax(flat)
+    ii = m // (NY * NT)
+    jj = (m % (NY * NT)) // NT
+    kk = m % NT
+    response = flat[m]
+
+    ties = out >= response - 1e-8
+    nties = jnp.sum(ties)
+    bx = jnp.sum(jnp.where(ties, xvals[:, None, None], 0.0)) / nties
+    by = jnp.sum(jnp.where(ties, yvals[None, :, None], 0.0)) / nties
+    bt = jnp.sum(jnp.where(ties, tvals[None, None, :], 0.0)) / nties
+
+    ar_i = jnp.arange(NX)
+    ar_j = jnp.arange(NY)
+    ar_k = jnp.arange(NT)
+
+    mask_i = (ar_i >= jnp.maximum(0, ii - 5)) & (ar_i < jnp.minimum(NX - 1, ii + 6))
+    mask_j = (ar_j >= jnp.maximum(0, jj - 5)) & (ar_j < jnp.minimum(NY - 1, jj + 6))
+    mask_ij = mask_i[:, None] & mask_j[None, :]
+
+    slice_k = jnp.take(out, kk, axis=2)  # (NX, NY) responses at argmax theta
+    norm = jnp.sum(jnp.where(mask_ij, slice_k, 0.0))
+    dx = xvals[:, None] - bx
+    dy = yvals[None, :] - by
+    XX = jnp.sum(jnp.where(mask_ij, slice_k * dx**2, 0.0))
+    YY = jnp.sum(jnp.where(mask_ij, slice_k * dy**2, 0.0))
+    XY = jnp.sum(jnp.where(mask_ij, slice_k * dx * dy, 0.0))
+
+    mask_k = (ar_k >= jnp.maximum(0, kk - 5)) & (ar_k < jnp.minimum(NT - 1, kk + 6))
+    slice_ij = out[ii, jj, :]
+    th_norm = jnp.sum(jnp.where(mask_k, slice_ij, 0.0))
+    TH = jnp.sum(jnp.where(mask_k, slice_ij * (tvals - bt) ** 2, 0.0))
+
+    return (
+        response,
+        bx,
+        by,
+        bt,
+        XX / norm / response,
+        YY / norm / response,
+        XY / norm / response,
+        TH / th_norm,
+    )
+
+
+def find_best_pose(
+    qgrid_flat, pts_x, pts_y, n_pts, cx, cy, ct, ox, oy, *,
+    spec, xy_size, xy_res, ang_size, ang_res, grid_size, grid_res,
+    penalize, dtype, symmetric=True,
+):
+    """One full search pass: lattice scoring + best-pose reduction.
+
+    Device analog of /root/reference/yag_slam/helpers.py:156-295
+    (symmetric=True: penalty centered on the grid center) and :434-573
+    (symmetric=False: penalty centered on the search center).
+    """
+    out, xv, yv, tv = score_lattice(
+        qgrid_flat, pts_x, pts_y, n_pts, cx, cy, ct, ox, oy,
+        spec=spec, xy_size=xy_size, xy_res=xy_res, ang_size=ang_size,
+        ang_res=ang_res, grid_size=grid_size, grid_res=grid_res,
+        penalize=penalize, dtype=dtype, symmetric=symmetric,
+    )
+    return reduce_best_pose(out, xv, yv, tv)
