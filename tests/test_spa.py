@@ -1,0 +1,141 @@
+"""Pose-graph optimizer tests, including a scipy least-squares oracle."""
+import numpy as np
+import pytest
+
+from yag_slam_tpu.core.transform import se2_compose, se2_relative, se2_wrap
+from yag_slam_tpu.graphopt.spa import SPA2d, PoseGraphSolver
+
+
+def relative(a, b):
+    """Pose of b in a's frame (the reference's `to - from`)."""
+    return se2_relative(b, a)
+
+
+def test_chain_exact_recovery():
+    """Perfect odometry constraints with corrupted initial guesses must be
+    pulled back to the exact chain (gauge: node 0)."""
+    rng = np.random.default_rng(0)
+    true = [np.array([0.0, 0.0, 0.0])]
+    for i in range(8):
+        step = np.array([1.0, 0.1 * np.sin(i), 0.2])
+        true.append(se2_compose(true[-1], step))
+
+    spa = SPA2d()
+    for i, p in enumerate(true):
+        guess = p + rng.normal(0, 0.3, 3) if i > 0 else p
+        spa.add_node(guess[0], guess[1], guess[2], i)
+    for i in range(len(true) - 1):
+        m = relative(true[i], true[i + 1])
+        spa.add_constraint(i, i + 1, m[0], m[1], m[2], np.eye(3).tolist())
+
+    spa.compute(100, 1.0e-4, True, 1.0e-9, 50)
+    for i, p in enumerate(true):
+        n = spa.nodes[i]
+        assert np.allclose([n.x, n.y], p[:2], atol=1e-6)
+        assert abs(se2_wrap(n.yaw - p[2])) < 1e-6
+
+
+def scipy_pose_graph_cost(poses0, edges, niter=200):
+    """Oracle: optimize the same graph with scipy and return final cost."""
+    from scipy.optimize import least_squares
+
+    n = len(poses0)
+
+    def residuals(x):
+        p = np.vstack([poses0[0], x.reshape(n - 1, 3)])
+        out = []
+        for (i, j), mean, sqrt_info in edges:
+            r = se2_relative(p[j], p[i]) - mean
+            r[2] = se2_wrap(r[2])
+            out.append(sqrt_info @ r)
+        return np.concatenate(out)
+
+    x0 = np.asarray(poses0[1:]).ravel()
+    sol = least_squares(residuals, x0, max_nfev=niter)
+    return 2 * sol.cost  # scipy cost = 0.5 * sum r^2
+
+
+def test_noisy_loop_matches_scipy_oracle():
+    """Square loop with noisy odometry + one loop closure: final chi2 must
+    match scipy's optimum."""
+    rng = np.random.default_rng(3)
+    # ground truth: walk a square, 4 sides x 3 steps
+    true = [np.array([0.0, 0.0, 0.0])]
+    for side in range(4):
+        for _ in range(3):
+            true.append(se2_compose(true[-1], np.array([1.0, 0.0, 0.0])))
+        true.append(se2_compose(true[-1], np.array([0.0, 0.0, np.pi / 2])))
+    n = len(true)
+
+    # noisy odometry means; noisy initial guesses by dead reckoning
+    edges = []
+    guesses = [true[0]]
+    info = np.diag([50.0, 50.0, 100.0])
+    sqrt_info = np.sqrt(info)
+    for i in range(n - 1):
+        mean = relative(true[i], true[i + 1]) + rng.normal(0, 0.03, 3)
+        edges.append(((i, i + 1), mean, sqrt_info))
+        guesses.append(se2_compose(guesses[-1], mean))
+    # loop closure: last node to first with strong info
+    lc_info = np.diag([500.0, 500.0, 1000.0])
+    lc_mean = relative(true[-1], true[0])
+    edges.append(((n - 1, 0), lc_mean, np.sqrt(lc_info)))
+
+    spa = SPA2d()
+    for i, g in enumerate(guesses):
+        spa.add_node(g[0], g[1], g[2], i)
+    for (i, j), mean, sqrt_info in edges:
+        spa.add_constraint(i, j, *mean, (sqrt_info @ sqrt_info).tolist())
+    final_cost = spa.compute(100, 1.0e-4, True, 1.0e-12, 50)
+
+    oracle_cost = scipy_pose_graph_cost(guesses, edges)
+    assert final_cost <= oracle_cost * (1 + 1e-6) + 1e-9
+    # chi2 parity within 0.1%
+    assert np.isclose(final_cost, oracle_cost, rtol=1e-3)
+
+    # the loop must actually be closed: last node near where the closure says
+    last = spa.nodes[n - 1]
+    err = se2_relative(np.array([spa.nodes[0].x, spa.nodes[0].y, spa.nodes[0].yaw]),
+                       np.array([last.x, last.y, last.yaw])) - lc_mean
+    assert np.linalg.norm(err[:2]) < 0.05
+
+
+def test_gauge_fixed():
+    spa = SPA2d()
+    spa.add_node(1.0, 2.0, 0.3, 0)
+    spa.add_node(5.0, 5.0, 1.0, 1)
+    spa.add_constraint(0, 1, 1.0, 0.0, 0.0, np.eye(3).tolist())
+    spa.compute()
+    assert np.allclose(
+        [spa.nodes[0].x, spa.nodes[0].y, spa.nodes[0].yaw], [1.0, 2.0, 0.3]
+    )
+    # node 1 should now satisfy the constraint exactly
+    rel = se2_relative(
+        np.array([spa.nodes[1].x, spa.nodes[1].y, spa.nodes[1].yaw]),
+        np.array([1.0, 2.0, 0.3]),
+    )
+    assert np.allclose(rel, [1.0, 0.0, 0.0], atol=1e-8)
+
+
+def test_empty_and_tiny_graphs_noop():
+    spa = SPA2d()
+    assert spa.compute() == 0.0
+    spa.add_node(0, 0, 0, 0)
+    assert spa.compute() == 0.0
+
+
+def test_incremental_reuse():
+    """Growing the graph between solves must work (capacity bucketing)."""
+    spa = SPA2d()
+    spa.add_node(0, 0, 0, 0)
+    for i in range(1, 40):
+        spa.add_node(i * 1.0 + 0.1, 0.05, 0.0, i)
+        spa.add_constraint(i - 1, i, 1.0, 0.0, 0.0, np.eye(3).tolist())
+        if i % 10 == 0:
+            spa.compute()
+    spa.compute(200, 1.0e-4, True, 1.0e-16, 50)
+    # cost tolerance maps to looser pose tolerance at the far end of the
+    # chain (gauge lever arm), hence atol 1e-4
+    for i in range(40):
+        n = spa.nodes[i]
+        assert np.allclose([n.x, n.y, n.yaw], [float(i), 0.0, 0.0], atol=1e-4)

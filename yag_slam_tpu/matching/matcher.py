@@ -93,6 +93,7 @@ class CorrelativeScanMatcher:
         base_capacity: int | None = None,
         dtype=jnp.float32,
         return_meta: bool = False,
+        sanitize_covariance: bool = True,
     ):
         self.config = config if config is not None else make_config(config_dict, loop)
         cfg = self.config
@@ -105,6 +106,7 @@ class CorrelativeScanMatcher:
         )
         self.dtype = dtype
         self.return_meta = return_meta
+        self.sanitize_covariance = sanitize_covariance
         self._point_cap = point_capacity
         self._base_cap = base_capacity
         self._k1 = C.gaussian_kernel_1d(cfg.resolution, cfg.smear_deviation)
@@ -269,12 +271,41 @@ class CorrelativeScanMatcher:
         # (/root/reference/yag_slam/scan_matching.py:204-218).
         xx, yy, xy = float(coarse[4]), float(coarse[5]), float(coarse[6])
         covar = np.array([[xx, xy, 0.0], [xy, yy, 0.0], [0.0, 0.0, th]])
+        if self.sanitize_covariance:
+            covar = self._sanitize_covariance(covar)
         meta = None
         if self.return_meta:
             meta = {"grid": np.asarray(outs[2]), "kernel": np.outer(self._k1, self._k1)}
         return ScanMatcherResult(
             response, covar, Transform.from_position_euler(x, y, 0, 0, 0, t), meta
         )
+
+    def _sanitize_covariance(self, covar):
+        """Guard against invalid match covariances.
+
+        The reference's covariance formula normalizes second moments by a
+        window-response sum that can legitimately go *negative* (the
+        distance penalty is unclamped — the clamp is commented out at
+        /root/reference/yag_slam/helpers.py:204,208 — so corner candidates
+        score negative).  Near the sign boundary, backend-level float
+        differences flip individual variances negative, and one indefinite
+        information matrix corrupts the entire pose-graph solve.  When the
+        covariance is non-finite or not positive definite we fall back to a
+        conservative "know nothing inside the search window" prior, the
+        same spirit as Karto's response-failure covariance.
+        """
+        cfg = self.config
+        xy_var = (0.5 * cfg.search_size) ** 2
+        th_var = (0.5 * cfg.coarse_search_angle_offset) ** 2
+        fallback_needed = not np.isfinite(covar).all()
+        if not fallback_needed:
+            xx, yy, xy, th = covar[0, 0], covar[1, 1], covar[0, 1], covar[2, 2]
+            fallback_needed = (
+                xx <= 0.0 or yy <= 0.0 or th <= 0.0 or xx * yy - xy * xy <= 0.0
+            )
+        if fallback_needed:
+            return np.diag([xy_var, xy_var, th_var])
+        return covar
 
     # -- scan-set (submap) matching ------------------------------------------
     def match_scan_sets(self, query_scans, base_scans, penalty=True, do_fine=True):
