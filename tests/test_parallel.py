@@ -1,0 +1,98 @@
+"""Multi-chip paths on the 8-virtual-device CPU mesh: sharded loop-closure
+matching and distributed SPA must agree with their single-device versions."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yag_slam_tpu.io.simulator import SimWorld, simulate_scan
+from yag_slam_tpu.matching.matcher import CorrelativeScanMatcher
+from yag_slam_tpu.parallel.sharding import default_mesh
+from yag_slam_tpu.parallel.loop_search import ShardedLoopMatcher
+from yag_slam_tpu.parallel.dist_spa import DistributedSPA
+from yag_slam_tpu.graphopt.spa import SPA2d
+from yag_slam_tpu.core.transform import se2_compose, se2_relative
+
+CFG = {"range_threshold": 5.0, "resolution": 0.05, "search_size": 2.0,
+       "smear_deviation": 0.05}
+
+
+def make_jobs(n_jobs=5):
+    world = SimWorld.office()
+    rng = np.random.default_rng(0)
+    jobs = []
+    for j in range(n_jobs):
+        base_pose = np.array([0.3 * j - 1.0, 0.2 * j - 1.0, 0.1 * j])
+        chain = [
+            simulate_scan(world, base_pose + [0.3 * i, 0.05, 0.0], n_beams=180,
+                          range_threshold=5.0, noise=0.004, rng=rng)
+            for i in range(3)
+        ]
+        query = simulate_scan(world, base_pose + [0.1, 0.05, 0.02],
+                              n_beams=180, range_threshold=5.0, noise=0.004,
+                              rng=rng)
+        jobs.append((query, chain))
+    return jobs
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_loop_matcher_matches_unsharded():
+    jobs = make_jobs(5)
+    matcher = CorrelativeScanMatcher(CFG, loop=True, dtype=jnp.float64)
+    plain = matcher.match_many(jobs, penalty=False, do_fine=False)
+
+    mesh = default_mesh()
+    sharded = ShardedLoopMatcher(
+        CorrelativeScanMatcher(CFG, loop=True, dtype=jnp.float64), mesh
+    )
+    shard_res = sharded.match_many(jobs, penalty=False, do_fine=False)
+
+    assert len(plain) == len(shard_res) == 5
+    for a, b in zip(plain, shard_res):
+        assert np.isclose(a.response, b.response, rtol=1e-9)
+        assert np.allclose(
+            [a.best_pose.x, a.best_pose.y, a.best_pose.euler[-1]],
+            [b.best_pose.x, b.best_pose.y, b.best_pose.euler[-1]],
+            atol=1e-9,
+        )
+
+
+def build_loop_graph(spa):
+    rng = np.random.default_rng(3)
+    true = [np.array([0.0, 0.0, 0.0])]
+    for side in range(4):
+        for _ in range(4):
+            true.append(se2_compose(true[-1], np.array([1.0, 0.0, 0.0])))
+        true.append(se2_compose(true[-1], np.array([0.0, 0.0, np.pi / 2])))
+    n = len(true)
+    info = np.diag([50.0, 50.0, 100.0])
+    guesses = [true[0]]
+    edges = []
+    for i in range(n - 1):
+        mean = se2_relative(true[i + 1], true[i]) + rng.normal(0, 0.02, 3)
+        edges.append(((i, i + 1), mean, info))
+        guesses.append(se2_compose(guesses[-1], mean))
+    edges.append(((n - 1, 0), se2_relative(true[0], true[-1]),
+                  np.diag([500.0, 500.0, 1000.0])))
+    for i, g in enumerate(guesses):
+        spa.add_node(g[0], g[1], g[2], i)
+    for (i, j), mean, I in edges:
+        spa.add_constraint(i, j, *mean, I.tolist())
+    return n
+
+
+def test_distributed_spa_matches_single_device():
+    ref = SPA2d()
+    build_loop_graph(ref)
+    ref_cost = ref.compute(100, 1.0e-4, True, 1.0e-12, 50)
+
+    dist = DistributedSPA(default_mesh())
+    build_loop_graph(dist)
+    dist_cost = dist.compute(100, 1.0e-4, True, 1.0e-12, 50)
+
+    assert np.isclose(ref_cost, dist_cost, rtol=1e-6)
+    for a, b in zip(ref.nodes, dist.nodes):
+        assert np.allclose([a.x, a.y, a.yaw], [b.x, b.y, b.yaw], atol=1e-5)

@@ -131,8 +131,7 @@ def build_normal_equations(poses, eidx, means, infos, emask, free_mask, *, n_cap
     return H, b.reshape(3 * N)
 
 
-@partial(jax.jit, static_argnames=("n_cap",))
-def lm_candidate(poses, eidx, means, infos, emask, free_mask, lam, *, n_cap):
+def _lm_candidate(poses, eidx, means, infos, emask, free_mask, lam, *, n_cap):
     """One damped step: solve (H + λ·diag(H))Δ = -b, return candidate poses
     and their cost."""
     H, b = build_normal_equations(
@@ -146,6 +145,48 @@ def lm_candidate(poses, eidx, means, infos, emask, free_mask, lam, *, n_cap):
     cand = cand.at[:, 2].set(_wrap(cand[:, 2]))
     cost = graph_cost(cand, eidx, means, infos, emask, n_cap=n_cap)
     return cand, cost
+
+
+lm_candidate = jax.jit(_lm_candidate, static_argnames=("n_cap",))
+
+
+@partial(jax.jit, static_argnames=("n_cap", "max_iters"))
+def lm_run(poses, eidx, means, infos, emask, free_mask, lam0, tol, *,
+           n_cap, max_iters):
+    """The full Levenberg–Marquardt loop as ONE device program.
+
+    The reference's C++ solver iterates inside one native call
+    (/root/reference/yag_slam/graph_slam.py:265); a host-driven loop here
+    would pay a dispatch round trip per iteration (25-40 ms on a tunneled
+    TPU), so the accept/reject damping logic runs in a lax.while_loop on
+    device and the host gets back only the final poses/cost/iteration
+    count.
+    """
+    cost0 = graph_cost(poses, eidx, means, infos, emask, n_cap=n_cap)
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return jnp.logical_and(jnp.logical_not(done), it < max_iters)
+
+    def body(carry):
+        p, cost, lam, it, _ = carry
+        cand, new_cost = _lm_candidate(
+            p, eidx, means, infos, emask, free_mask, lam, n_cap=n_cap
+        )
+        accept = jnp.isfinite(new_cost) & (new_cost <= cost)
+        decrease = cost - new_cost
+        p = jnp.where(accept, cand, p)
+        new_lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1.0e-12), lam * 4.0)
+        done = (accept & (decrease < tol * jnp.maximum(new_cost, 1.0))) | (
+            jnp.logical_not(accept) & (new_lam > 1.0e8)
+        )
+        cost = jnp.where(accept, new_cost, cost)
+        return (p, cost, new_lam, it + 1, done)
+
+    p, cost, _, iters, _ = jax.lax.while_loop(
+        cond, body, (poses, cost0, lam0, jnp.int32(0), jnp.bool_(False))
+    )
+    return p, cost, iters
 
 
 def _cap(n, minimum=16):
@@ -220,28 +261,17 @@ class PoseGraphSolver:
         )
         free_j = jnp.asarray(free)
 
-        cost = float(graph_cost(poses_j, *args, n_cap=n_cap))
-        lam = init_lambda
-        for it in range(max_iters):
-            cand, new_cost = lm_candidate(
-                poses_j, *args, free_j, lam, n_cap=n_cap
-            )
-            new_cost = float(new_cost)
-            if np.isfinite(new_cost) and new_cost <= cost:
-                decrease = cost - new_cost
-                poses_j = cand
-                cost = new_cost
-                lam = max(lam * 0.5, 1.0e-12)
-                if decrease < tol * max(cost, 1.0):
-                    break
-            else:
-                lam *= 4.0
-                if lam > 1.0e8:
-                    break
-            if verbose:
-                print(f"[spa] iter {it}: cost {cost:.6g} lambda {lam:.3g}")
+        final_poses, cost, iters = lm_run(
+            poses_j, *args, free_j,
+            jnp.asarray(init_lambda, dtype=dtype),
+            jnp.asarray(tol, dtype=dtype),
+            n_cap=n_cap, max_iters=max_iters,
+        )
+        cost = float(cost)
+        if verbose:
+            print(f"[spa] converged in {int(iters)} iters, chi2 {cost:.6g}")
 
-        out = np.asarray(poses_j[:n], dtype=np.float64)
+        out = np.asarray(final_poses[:n], dtype=np.float64)
         for i in range(n):
             self.poses[i] = [float(out[i, 0]), float(out[i, 1]), float(out[i, 2])]
         return cost

@@ -183,6 +183,53 @@ def quantize_grid(cgrid):
 
 
 # ---------------------------------------------------------------------------
+# Batched subgrid build
+#
+# The full correlation grid is G^2 cells with G = search/res + 1 + 2*range/res
+# (4051^2 = 65 MB at the reference's defaults) but occupied cells only exist
+# where base-scan points land.  Because out-of-subgrid cells are provably
+# zero, building and scoring against a tight subgrid that covers the
+# occupied bounding box (+ smear halo) is *exact* — the host picks the
+# subgrid origin (sox, soy) and a bucketed static size S per match.
+# ---------------------------------------------------------------------------
+
+def build_occupancy_padded(
+    wx, wy, keep, ox, oy, sox, soy, *, G, S, h, Cpad, res, dtype
+):
+    """Scatter occupied indicators into a halo-padded batched subgrid.
+
+    wx, wy, keep: (N, B, P) world points + keep mask; ox, oy, sox, soy: (N,).
+    Returns (N, S + 2*ROW_TILE, Cpad) float — the smear kernels' layout
+    (occupied cells at row offset +ROW_TILE, column offset +h; the row pad
+    carries the pipelined halo strips).
+    Points outside the *full* grid are dropped (reference semantics:
+    /root/reference/yag_slam/helpers.py:123-131); the subgrid is
+    constructed by the caller to contain every remaining point.
+    """
+    from yag_slam_tpu.matching.pallas_kernels import ROW_TILE
+
+    N = wx.shape[0]
+    rows = S + 2 * ROW_TILE
+    gx = world_to_grid_idx(wx, ox[:, None, None], res)
+    gy = world_to_grid_idx(wy, oy[:, None, None], res)
+    inb = (gx >= 0) & (gx < G) & (gy >= 0) & (gy < G) & keep
+    sx = gx - sox[:, None, None] + h
+    sy = gy - soy[:, None, None] + ROW_TILE
+    ins = (sx >= 0) & (sx < Cpad) & (sy >= 0) & (sy < rows)
+    rowsz = rows * Cpad
+    b_idx = jnp.arange(N, dtype=jnp.int32)[:, None, None]
+    lin = jnp.where(inb & ins, b_idx * rowsz + sy * Cpad + sx, N * rowsz)
+    occ = (
+        jnp.zeros(N * rowsz + 1, dtype=dtype)
+        .at[lin.ravel()]
+        .max(jnp.ones(lin.size, dtype=dtype))
+    )
+    return occ[: N * rowsz].reshape(N, rows, Cpad)
+
+
+
+
+# ---------------------------------------------------------------------------
 # Candidate-lattice scoring + best-pose reduction
 # ---------------------------------------------------------------------------
 
@@ -226,6 +273,9 @@ def score_lattice(
     dist_var_penalty: float = 0.5,
     ang_var_penalty: float = 1.0,
     symmetric: bool = True,
+    sub_size: int | None = None,
+    sox=0,
+    soy=0,
 ):
     """Score the full candidate lattice.
 
@@ -255,12 +305,18 @@ def score_lattice(
     gx = world_to_grid_idx(xvals[:, None, None] + rx[None], ox, grid_res)
     gy = world_to_grid_idx(yvals[:, None, None] + ry[None], oy, grid_res)
 
-    inb_x = (gx >= 0) & (gx < G)
-    inb_y = (gy >= 0) & (gy < G)
+    # Full-grid bounds define the reference's scoring semantics; the
+    # subgrid (when smaller) merely stores the only cells that can be
+    # nonzero, so gathers outside it legitimately read 0.
+    S = G if sub_size is None else sub_size
+    sgx = gx - sox
+    sgy = gy - soy
+    ok_x = (gx >= 0) & (gx < G) & (sgx >= 0) & (sgx < S)
+    ok_y = (gy >= 0) & (gy < G) & (sgy >= 0) & (sgy < S)
 
     # (NX, NY, NT, P) linear indices; out-of-bounds -> sentinel slot holding 0.
-    lin = gy[None, :, :, :] * G + gx[:, None, :, :]
-    lin = jnp.where(inb_x[:, None] & inb_y[None, :], lin, G * G)
+    lin = sgy[None, :, :, :] * S + sgx[:, None, :, :]
+    lin = jnp.where(ok_x[:, None] & ok_y[None, :], lin, S * S)
     vals = jnp.take(qgrid_flat, lin, mode="clip")
     raw = jnp.sum(vals, axis=-1)  # (NX, NY, NT) — integer-valued floats
 
@@ -284,6 +340,89 @@ def score_lattice(
         penalty = jnp.ones((), dtype=dtype)
 
     out = raw / n_pts * penalty / 100.0
+    return out, xvals, yvals, tvals
+
+
+def score_lattice_batched(
+    qgrid_flat,  # (N, S*S + 1) — per-job quantized subgrids + sentinel
+    pts_x,       # (N, P)
+    pts_y,
+    n_pts,       # (N,)
+    cx, cy, ct,  # (N,)
+    ox, oy,      # (N,)
+    sox, soy,    # (N,)
+    *,
+    spec: LatticeSpec,
+    xy_size, xy_res, ang_size, ang_res,
+    grid_size: int,
+    grid_res: float,
+    sub_size: int,
+    penalize: bool,
+    dtype,
+    dist_var_penalty: float = 0.5,
+    ang_var_penalty: float = 1.0,
+):
+    """Natively batched lattice scoring.
+
+    Same semantics as :func:`score_lattice` with a leading job axis, but
+    the grid lookup is ONE flat gather with globally-offset indices —
+    `vmap` of a gather with per-lane sources lowers to a serialized
+    batched-gather on TPU (measured 800 ms for a 16-job batch that takes
+    ~10 ms this way).
+
+    Returns (out, xvals, yvals, tvals) with leading job axis.
+    """
+    NX, NY, NT = spec
+    N = qgrid_flat.shape[0]
+    G = grid_size
+    S = sub_size
+
+    ar_x = jnp.arange(NX, dtype=dtype)
+    xvals = (cx - xy_size)[:, None] + ar_x[None, :] * xy_res           # (N, NX)
+    yvals = (cy - xy_size)[:, None] + jnp.arange(NY, dtype=dtype)[None] * xy_res
+    tvals = (ct - ang_size)[:, None] + jnp.arange(NT, dtype=dtype)[None] * ang_res
+
+    c, s = jnp.cos(tvals), jnp.sin(tvals)                               # (N, NT)
+    rx = c[:, :, None] * pts_x[:, None, :] - s[:, :, None] * pts_y[:, None, :]
+    ry = s[:, :, None] * pts_x[:, None, :] + c[:, :, None] * pts_y[:, None, :]
+
+    gx = world_to_grid_idx(
+        xvals[:, :, None, None] + rx[:, None, :, :], ox[:, None, None, None],
+        grid_res,
+    )  # (N, NX, NT, P)
+    gy = world_to_grid_idx(
+        yvals[:, :, None, None] + ry[:, None, :, :], oy[:, None, None, None],
+        grid_res,
+    )  # (N, NY, NT, P)
+
+    sgx = gx - sox[:, None, None, None]
+    sgy = gy - soy[:, None, None, None]
+    ok_x = (gx >= 0) & (gx < G) & (sgx >= 0) & (sgx < S)
+    ok_y = (gy >= 0) & (gy < G) & (sgy >= 0) & (sgy < S)
+
+    row = S * S + 1
+    base = (jnp.arange(N, dtype=jnp.int32) * row)[:, None, None, None, None]
+    lin = sgy[:, None, :, :, :] * S + sgx[:, :, None, :, :]
+    lin = jnp.where(
+        ok_x[:, :, None] & ok_y[:, None, :], lin, S * S
+    ) + base  # (N, NX, NY, NT, P)
+    vals = jnp.take(qgrid_flat.ravel(), lin, mode="clip")
+    raw = jnp.sum(vals, axis=-1)  # (N, NX, NY, NT)
+
+    if penalize:
+        sx = ox + G * grid_res / 2.0
+        sy = oy + G * grid_res / 2.0
+        sqd = (xvals[:, :, None] - sx[:, None, None]) ** 2 + (
+            yvals[:, None, :] - sy[:, None, None]
+        ) ** 2
+        dist_pen = 1.0 - 0.2 * sqd / (dist_var_penalty * grid_res)
+        sqa = (tvals - ct[:, None]) ** 2
+        ang_pen = 1.0 - 0.2 * sqa / (ang_var_penalty * grid_res)
+        penalty = dist_pen[:, :, :, None] * ang_pen[:, None, None, :]
+    else:
+        penalty = jnp.ones((), dtype=dtype)
+
+    out = raw / n_pts[:, None, None, None] * penalty / 100.0
     return out, xvals, yvals, tvals
 
 
@@ -353,7 +492,7 @@ def reduce_best_pose(out, xvals, yvals, tvals):
 def find_best_pose(
     qgrid_flat, pts_x, pts_y, n_pts, cx, cy, ct, ox, oy, *,
     spec, xy_size, xy_res, ang_size, ang_res, grid_size, grid_res,
-    penalize, dtype, symmetric=True,
+    penalize, dtype, symmetric=True, sub_size=None, sox=0, soy=0,
 ):
     """One full search pass: lattice scoring + best-pose reduction.
 
@@ -366,5 +505,6 @@ def find_best_pose(
         spec=spec, xy_size=xy_size, xy_res=xy_res, ang_size=ang_size,
         ang_res=ang_res, grid_size=grid_size, grid_res=grid_res,
         penalize=penalize, dtype=dtype, symmetric=symmetric,
+        sub_size=sub_size, sox=sox, soy=soy,
     )
     return reduce_best_pose(out, xv, yv, tv)

@@ -7,18 +7,26 @@ config dict (+ `loop=` preset), `match_scan(query, base_scans, penalty,
 do_fine) -> ScanMatcherResult(response, covariance, best_pose, meta)`, and
 the scan-set variants used for submap alignment.
 
-Architecture differs deliberately from the reference: scans are padded
-array views (cached per scan, pose-independent), every search pass runs as
-one jitted XLA program (grid build + coarse + fine fused — no host round
-trip between passes), and compiled programs are cached per static shape
-bucket so the online SLAM loop hits a warm compile cache after the first
-few scans.
+Architecture (deliberately different from the reference's per-call C++
+marshalling):
+
+- every scan's matcher view is uploaded to the device once and cached on
+  the scan; base *sets* are stacked on device once per membership and
+  reused across the sliding window, so steady-state per-match traffic is a
+  handful of scalars;
+- the host computes a tight, bucketed **subgrid** around the occupied
+  bounding box each match.  Cells outside it are provably zero, so
+  building and scoring against the subgrid is exact while shrinking the
+  reference's G^2 grid (65 MB at default config) to the occupied extent;
+- grid build + Gaussian max-smear (a fused Pallas kernel on TPU) + coarse
+  + fine search run as one jitted program, batch-first: `match_many`
+  scores independent (query, base-set) jobs in a single dispatch — the
+  throughput path for loop-closure fans and offline workloads.
 """
 from __future__ import annotations
 
 import math
 from collections import namedtuple
-from functools import partial
 
 import numpy as np
 import jax
@@ -27,6 +35,7 @@ import jax.numpy as jnp
 from yag_slam_tpu.core.config import ScanMatcherConfig, make_config
 from yag_slam_tpu.core.transform import Transform
 from yag_slam_tpu.matching import correlation as C
+from yag_slam_tpu.matching.pallas_kernels import pallas_available
 
 ScanMatcherResult = namedtuple(
     "ScanMatcherResult", ["response", "covariance", "best_pose", "meta"]
@@ -47,24 +56,26 @@ _FINE_ANGLE_SIZE = 0.0349 * 0.5
 _EXPANSION_STEP = math.radians(20.0)
 _EXPANSION_TRIES = 3
 
+_VIEW_KEYS = ("lx", "ly", "anchor", "term", "has_run")
+
+_SUB_BUCKETS = (512, 1024, 2048, 4096, 8192)
+
 
 def _next_bucket(n: int, quantum: int = 128) -> int:
-    """Round up to a power-of-two multiple of `quantum` (shape bucketing to
-    bound recompiles)."""
     b = quantum
     while b < n:
         b *= 2
     return b
 
 
-def scan_matcher_view(scan, cap: int):
-    """Cached, pose-independent device view of a scan.
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
-    Returns dict of numpy arrays of length `cap`:
-      lx, ly   — compacted local beam endpoints (float64)
-      anchor, term, has_run — validation-run structure
-      n        — number of valid beams
-    """
+
+def scan_matcher_view(scan, cap: int):
+    """Cached, pose-independent host view of a scan: compacted local beam
+    endpoints + validation-run structure (see
+    correlation.segment_validation_runs)."""
     key = ("matcher_view", cap)
     if key not in scan._points_cache:
         lx, ly, n = scan.local_points_padded(cap)
@@ -75,6 +86,22 @@ def scan_matcher_view(scan, cap: int):
         anchor[:n], term[:n], has[:n] = a, t, h
         scan._points_cache[key] = dict(
             lx=lx, ly=ly, anchor=anchor, term=term, has_run=has, n=n
+        )
+    return scan._points_cache[key]
+
+
+def scan_device_view(scan, cap: int, dtype):
+    """Device-resident view: uploaded once per (scan, cap, dtype) and
+    reused by every subsequent match involving this scan."""
+    key = ("matcher_view_dev", cap, np.dtype(dtype).name)
+    if key not in scan._points_cache:
+        v = scan_matcher_view(scan, cap)
+        scan._points_cache[key] = dict(
+            lx=jnp.asarray(v["lx"], dtype=dtype),
+            ly=jnp.asarray(v["ly"], dtype=dtype),
+            anchor=jnp.asarray(v["anchor"]),
+            term=jnp.asarray(v["term"]),
+            has_run=jnp.asarray(v["has_run"]),
         )
     return scan._points_cache[key]
 
@@ -94,6 +121,7 @@ class CorrelativeScanMatcher:
         dtype=jnp.float32,
         return_meta: bool = False,
         sanitize_covariance: bool = True,
+        use_pallas: bool | None = None,
     ):
         self.config = config if config is not None else make_config(config_dict, loop)
         cfg = self.config
@@ -110,7 +138,13 @@ class CorrelativeScanMatcher:
         self._point_cap = point_capacity
         self._base_cap = base_capacity
         self._k1 = C.gaussian_kernel_1d(cfg.resolution, cfg.smear_deviation)
+        self._half = (len(self._k1) - 1) // 2
+        if use_pallas is None:
+            use_pallas = pallas_available() and np.dtype(dtype) == np.float32
+        self.use_pallas = use_pallas
         self._programs = {}
+        self._zero_views = {}
+        self._set_cache = {}
 
     # -- capacity management ------------------------------------------------
     def _ensure_point_cap(self, scans) -> int:
@@ -129,21 +163,110 @@ class CorrelativeScanMatcher:
             b *= 2
         return b
 
-    # -- compiled program cache ---------------------------------------------
-    def _program(self, P, B, penalty, do_fine, coarse_offset):
-        key = (P, B, penalty, do_fine, round(coarse_offset, 12))
+    def _zero_view(self, P):
+        key = (P, np.dtype(self.dtype).name)
+        if key not in self._zero_views:
+            self._zero_views[key] = dict(
+                lx=jnp.zeros(P, dtype=self.dtype),
+                ly=jnp.zeros(P, dtype=self.dtype),
+                anchor=jnp.zeros(P, dtype=jnp.int32),
+                term=jnp.zeros(P, dtype=jnp.int32),
+                has_run=jnp.zeros(P, dtype=bool),
+            )
+        return self._zero_views[key]
+
+    # -- subgrid selection ----------------------------------------------------
+    def _max_sub(self):
+        return _round_up(self.grid_size, 128)
+
+    def _subgrid_for(self, base_scans, center_x, center_y, P):
+        """Host-side: tight occupied-bbox subgrid (origin + size bucket).
+
+        Exact: every base point inside the full grid lands inside the
+        subgrid (+ smear halo), so all other cells are zero.
+        """
+        cfg = self.config
+        res = cfg.resolution
+        G = self.grid_size
+        h = self._half
+        ox = center_x - 0.5 * (G - 1) * res
+        oy = center_y - 0.5 * (G - 1) * res
+
+        minx = miny = np.inf
+        maxx = maxy = -np.inf
+        for s in base_scans:
+            v = scan_matcher_view(s, P)
+            p = s.corrected_pose
+            t = p.euler[-1]
+            c, sn = np.cos(t), np.sin(t)
+            wx = p.x + c * v["lx"] - sn * v["ly"]
+            wy = p.y + sn * v["lx"] + c * v["ly"]
+            minx = min(minx, wx.min())
+            maxx = max(maxx, wx.max())
+            miny = min(miny, wy.min())
+            maxy = max(maxy, wy.max())
+
+        gminx = int(np.clip(np.floor((minx - ox) / res) - 1, 0, G - 1))
+        gmaxx = int(np.clip(np.ceil((maxx - ox) / res) + 1, 0, G - 1))
+        gminy = int(np.clip(np.floor((miny - oy) / res) - 1, 0, G - 1))
+        gmaxy = int(np.clip(np.ceil((maxy - oy) / res) + 1, 0, G - 1))
+        span = max(gmaxx - gminx, gmaxy - gminy) + 1 + 2 * h + 4
+
+        s_max = self._max_sub()
+        S = s_max
+        for b in _SUB_BUCKETS:
+            if b >= span and b < s_max:
+                S = b
+                break
+        if S >= G:
+            return 0, 0, S
+        sox = int(np.clip(gminx - h - 2, 0, G - S))
+        soy = int(np.clip(gminy - h - 2, 0, G - S))
+        return sox, soy, S
+
+    # -- compiled programs ------------------------------------------------------
+    def _program(self, P, B, penalty, do_fine, coarse_offset, S, batched):
+        key = (P, B, penalty, do_fine, round(coarse_offset, 12), S, batched)
         prog = self._programs.get(key)
         if prog is None:
-            prog = self._build_program(P, B, penalty, do_fine, coarse_offset)
+            prog = self._build_program(P, B, penalty, do_fine, coarse_offset,
+                                       S, batched)
             self._programs[key] = prog
         return prog
 
-    def _build_program(self, P, B, penalty, do_fine, coarse_offset):
+    def batched_core(self, P, B, penalty, do_fine, S, coarse_offset=None):
+        """The raw (unjitted) batch-first match function over arrays with a
+        leading job axis — for composition under shard_map/pjit (see
+        yag_slam_tpu.parallel.loop_search)."""
+        if coarse_offset is None:
+            coarse_offset = self.config.coarse_search_angle_offset
+        return self._make_core(P, B, penalty, do_fine, coarse_offset, S)
+
+    def _build_program(self, P, B, penalty, do_fine, coarse_offset, S, batched):
+        core = self._make_core(P, B, penalty, do_fine, coarse_offset, S)
+        if batched:
+            fn = core
+        else:
+            def fn(base, mask, pose, qlx, qly, n_q, center, vp, sub):
+                outs = core(
+                    *(base[k][None] for k in _VIEW_KEYS),
+                    mask[None], pose[None], qlx[None], qly[None],
+                    n_q[None], center[None], vp[None], sub[None],
+                )
+                return tuple(o[0] for o in outs)
+
+        return jax.jit(fn)
+
+    def _make_core(self, P, B, penalty, do_fine, coarse_offset, S):
         cfg = self.config
         G = self.grid_size
         res = cfg.resolution
         dtype = self.dtype
         k1 = self._k1
+        h = self._half
+        Cpad = _round_up(S + 2 * h, 128)
+        use_pallas = self.use_pallas
+        return_grid = self.return_meta
 
         coarse_spec = C.LatticeSpec.from_search(
             0.0, 0.0, 0.0, cfg.search_size * 0.5, res * 2,
@@ -154,76 +277,143 @@ class CorrelativeScanMatcher:
             _FINE_ANGLE_SIZE, cfg.fine_search_angle_resolution,
         )
 
-        def fn(base_lx, base_ly, anchor, term, has_run, scan_mask, base_pose,
-               q_lx, q_ly, n_q, center):
-            cx, cy, ct = center[0], center[1], center[2]
-            # Grid origin, as /root/reference/yag_slam/scan_matching.py:187-188
+        def core(base_lx, base_ly, anchor, term, has_run, mask, pose,
+                 qlx, qly, n_q, center, vp, sub):
+            # every operand carries a leading job axis N
+            cx, cy, ct = center[:, 0], center[:, 1], center[:, 2]
             ox = cx - 0.5 * (G - 1) * res
             oy = cy - 0.5 * (G - 1) * res
 
-            ps, pc = jnp.sin(base_pose[:, 2:3]), jnp.cos(base_pose[:, 2:3])
-            wx = base_pose[:, 0:1] + pc * base_lx - ps * base_ly
-            wy = base_pose[:, 1:2] + ps * base_lx + pc * base_ly
+            pc = jnp.cos(pose[..., 2:3])
+            ps = jnp.sin(pose[..., 2:3])
+            wx = pose[..., 0:1] + pc * base_lx - ps * base_ly
+            wy = pose[..., 1:2] + ps * base_lx + pc * base_ly
 
             keep = C.keep_mask_for_viewpoint(
-                wx, wy, anchor, term, has_run, scan_mask[:, None], cx, cy
+                wx, wy, anchor, term, has_run, mask[..., None],
+                vp[:, 0][:, None, None], vp[:, 1][:, None, None],
             )
-            cgrid = C.build_correlation_grid(
-                wx, wy, keep, ox, oy, grid_size=G, res=res, k1=k1, dtype=dtype
+            sox = sub[:, 0]
+            soy = sub[:, 1]
+            occ = C.build_occupancy_padded(
+                wx, wy, keep, ox, oy, sox, soy,
+                G=G, S=S, h=h, Cpad=Cpad, res=res, dtype=dtype,
             )
+            taps = tuple(float(v) for v in k1)
+            # Mosaic/XLA promotes the kernel result to VMEM; beyond ~1024^2
+            # (4 MB) that promotion overflows the 16 MB scoped-VMEM budget,
+            # so large subgrids take the XLA shifted-max chain instead.
+            if use_pallas and S <= 1024:
+                from yag_slam_tpu.matching.pallas_kernels import smear_grid_pallas
+
+                cgrid = smear_grid_pallas(
+                    occ.astype(jnp.float32), h=h, S=S, taps=taps
+                ).astype(dtype)
+            else:
+                from yag_slam_tpu.matching.pallas_kernels import smear_grid_xla
+
+                cgrid = smear_grid_xla(occ, h=h, S=S, taps=taps)
+            N = cgrid.shape[0]
             qflat = jnp.concatenate(
-                [C.quantize_grid(cgrid).ravel(), jnp.zeros(1, dtype=dtype)]
+                [
+                    C.quantize_grid(cgrid).reshape(N, S * S),
+                    jnp.zeros((N, 1), dtype=dtype),
+                ],
+                axis=1,
             )
 
             lane = jnp.arange(P)
-            qx = jnp.where(lane < n_q, q_lx, _FAR)
-            qy = jnp.where(lane < n_q, q_ly, _FAR)
+            qx = jnp.where(lane[None, :] < n_q[:, None], qlx, _FAR)
+            qy = jnp.where(lane[None, :] < n_q[:, None], qly, _FAR)
             n_pts = n_q.astype(dtype)
 
-            common = dict(grid_size=G, grid_res=res, penalize=penalty, dtype=dtype)
-            coarse = C.find_best_pose(
-                qflat, qx, qy, n_pts, cx, cy, ct, ox, oy,
-                spec=coarse_spec, xy_size=cfg.search_size * 0.5, xy_res=res * 2,
-                ang_size=coarse_offset * 0.5,
+            common = dict(grid_size=G, grid_res=res, penalize=penalty,
+                          dtype=dtype, sub_size=S)
+
+            out_c, xv, yv, tv = C.score_lattice_batched(
+                qflat, qx, qy, n_pts, cx, cy, ct, ox, oy, sox, soy,
+                spec=coarse_spec, xy_size=cfg.search_size * 0.5,
+                xy_res=res * 2, ang_size=coarse_offset * 0.5,
                 ang_res=cfg.coarse_angle_resolution, **common,
             )
+            coarse = jnp.stack(
+                jax.vmap(C.reduce_best_pose)(out_c, xv, yv, tv), axis=1
+            )
             if do_fine:
-                fine = C.find_best_pose(
-                    qflat, qx, qy, n_pts, coarse[1], coarse[2], coarse[3],
-                    ox, oy, spec=fine_spec, xy_size=res * 2, xy_res=res,
+                out_f, xv, yv, tv = C.score_lattice_batched(
+                    qflat, qx, qy, n_pts, coarse[:, 1], coarse[:, 2],
+                    coarse[:, 3], ox, oy, sox, soy,
+                    spec=fine_spec, xy_size=res * 2, xy_res=res,
                     ang_size=_FINE_ANGLE_SIZE,
                     ang_res=cfg.fine_search_angle_resolution, **common,
                 )
+                fine = jnp.stack(
+                    jax.vmap(C.reduce_best_pose)(out_f, xv, yv, tv), axis=1
+                )
             else:
                 fine = coarse
-            outs = (jnp.stack(coarse), jnp.stack(fine))
-            if self.return_meta:
+            outs = (coarse, fine)
+            if return_grid:
                 outs = outs + (cgrid,)
             return outs
 
-        return jax.jit(fn)
+        return core
 
     # -- input assembly -------------------------------------------------------
-    def _stack_base(self, base_scans, P, B):
+    def _stacked_set(self, base_scans, P, B):
+        """Device-stacked (B, P) views for a base set; cached per
+        membership so the sliding window re-stacks only when it changes."""
+        key = (tuple(id(s) for s in base_scans), P, B,
+               np.dtype(self.dtype).name)
+        hit = self._set_cache.get(key)
+        if hit is None:
+            views = [scan_device_view(s, P, self.dtype) for s in base_scans]
+            views += [self._zero_view(P)] * (B - len(base_scans))
+            stacked = {
+                k: jnp.stack([v[k] for v in views]) for k in _VIEW_KEYS
+            }
+            if len(self._set_cache) > 32:
+                self._set_cache.pop(next(iter(self._set_cache)))
+            # hold scan refs so ids stay unique while cached
+            self._set_cache[key] = (stacked, list(base_scans))
+            hit = self._set_cache[key]
+        return hit[0]
+
+    def _mask_pose(self, base_scans, B):
         np_dtype = np.dtype(self.dtype)
-        lx = np.zeros((B, P), dtype=np_dtype)
-        ly = np.zeros((B, P), dtype=np_dtype)
-        anchor = np.zeros((B, P), dtype=np.int32)
-        term = np.zeros((B, P), dtype=np.int32)
-        has_run = np.zeros((B, P), dtype=bool)
-        mask = np.zeros((B,), dtype=bool)
+        mask = np.zeros(B, dtype=bool)
+        mask[: len(base_scans)] = True
         pose = np.zeros((B, 3), dtype=np_dtype)
         for i, s in enumerate(base_scans):
-            v = scan_matcher_view(s, P)
-            lx[i] = v["lx"]
-            ly[i] = v["ly"]
-            anchor[i] = v["anchor"]
-            term[i] = v["term"]
-            has_run[i] = v["has_run"]
-            mask[i] = True
             p = s.corrected_pose
             pose[i] = (p.x, p.y, p.euler[-1])
-        return lx, ly, anchor, term, has_run, mask, pose
+        return mask, pose
+
+    def _run_single(self, base_scans, q_lx, q_ly, n_q, center, viewpoint,
+                    penalty, do_fine, P):
+        cfg = self.config
+        B = self._base_bucket(len(base_scans))
+        base = self._stacked_set(base_scans, P, B)
+        mask, pose = self._mask_pose(base_scans, B)
+        sox, soy, S = self._subgrid_for(
+            base_scans, float(center[0]), float(center[1]), P
+        )
+        sub = np.array([sox, soy], dtype=np.int32)
+
+        coarse_offset = cfg.coarse_search_angle_offset
+        for attempt in range(1 + _EXPANSION_TRIES):
+            prog = self._program(P, B, bool(penalty), bool(do_fine),
+                                 coarse_offset, S, batched=False)
+            outs = prog(base, mask, pose, q_lx, q_ly, n_q, center, viewpoint,
+                        sub)
+            coarse, fine = np.asarray(outs[0]), np.asarray(outs[1])
+            response = float(fine[0] if do_fine else coarse[0])
+            if response > 0.0 or not cfg.use_response_expansion:
+                break
+            coarse_offset = (
+                cfg.coarse_search_angle_offset + (attempt + 1) * _EXPANSION_STEP
+            )
+        return self._assemble(coarse, fine, do_fine, outs)
 
     # -- public API -----------------------------------------------------------
     def match_scan(self, query, base_scans, penalty=True, do_fine=True):
@@ -233,30 +423,83 @@ class CorrelativeScanMatcher:
         from the coarse xy moments and the fine theta moment."""
         if not base_scans:
             raise ValueError("match_scan needs at least one base scan")
-        cfg = self.config
         P = self._ensure_point_cap(list(base_scans) + [query])
-        B = self._base_bucket(len(base_scans))
-        base = self._stack_base(base_scans, P, B)
-
-        qv = scan_matcher_view(query, P)
-        np_dtype = np.dtype(self.dtype)
-        q_lx = qv["lx"].astype(np_dtype)
-        q_ly = qv["ly"].astype(np_dtype)
-        n_q = np.int32(qv["n"])
+        qv = scan_device_view(query, P, self.dtype)
+        n_q = np.int32(scan_matcher_view(query, P)["n"])
         p = query.corrected_pose
+        np_dtype = np.dtype(self.dtype)
         center = np.array([p.x, p.y, p.euler[-1]], dtype=np_dtype)
+        return self._run_single(
+            base_scans, qv["lx"], qv["ly"], n_q, center, center[:2],
+            penalty, do_fine, P,
+        )
 
-        coarse_offset = cfg.coarse_search_angle_offset
-        for attempt in range(1 + _EXPANSION_TRIES):
-            prog = self._program(P, B, bool(penalty), bool(do_fine), coarse_offset)
-            outs = prog(*base, q_lx, q_ly, n_q, center)
-            coarse, fine = np.asarray(outs[0]), np.asarray(outs[1])
-            response = float(fine[0] if do_fine else coarse[0])
-            if response > 0.0 or not cfg.use_response_expansion:
-                break
-            coarse_offset = cfg.coarse_search_angle_offset + (attempt + 1) * _EXPANSION_STEP
+    def match_many(self, jobs, penalty=True, do_fine=True):
+        """Score independent (query, base_scans) jobs in one dispatch.
 
-        return self._assemble(coarse, fine, do_fine, outs)
+        The throughput path: used for fanned-out loop-closure candidate
+        matching (the reference loops chains one C++ call at a time,
+        /root/reference/yag_slam/graph_slam.py:217-236) and for offline
+        batch workloads.  Response expansion, if needed, falls back to the
+        single-match path per job.
+        """
+        if not jobs:
+            return []
+        all_scans = [q for q, _ in jobs] + [s for _, bs in jobs for s in bs]
+        P = self._ensure_point_cap(all_scans)
+        B = self._base_bucket(max(len(bs) for _, bs in jobs))
+        N = len(jobs)
+        np_dtype = np.dtype(self.dtype)
+
+        batch = {
+            k: np.zeros((N, B, P), dtype=dt)
+            for k, dt in (
+                ("lx", np_dtype), ("ly", np_dtype),
+                ("anchor", np.int32), ("term", np.int32), ("has_run", bool),
+            )
+        }
+        mask = np.zeros((N, B), dtype=bool)
+        pose = np.zeros((N, B, 3), dtype=np_dtype)
+        q_lx = np.zeros((N, P), dtype=np_dtype)
+        q_ly = np.zeros((N, P), dtype=np_dtype)
+        n_q = np.zeros(N, dtype=np.int32)
+        center = np.zeros((N, 3), dtype=np_dtype)
+        sub = np.zeros((N, 2), dtype=np.int32)
+        S = 0
+        for j, (query, base_scans) in enumerate(jobs):
+            for i, s in enumerate(base_scans):
+                v = scan_matcher_view(s, P)
+                for k in _VIEW_KEYS:
+                    batch[k][j, i] = v[k]
+                mask[j, i] = True
+                p = s.corrected_pose
+                pose[j, i] = (p.x, p.y, p.euler[-1])
+            qv = scan_matcher_view(query, P)
+            q_lx[j] = qv["lx"]
+            q_ly[j] = qv["ly"]
+            n_q[j] = qv["n"]
+            p = query.corrected_pose
+            center[j] = (p.x, p.y, p.euler[-1])
+            sox, soy, S_j = self._subgrid_for(base_scans, p.x, p.y, P)
+            sub[j] = (sox, soy)
+            S = max(S, S_j)
+
+        prog = self._program(
+            P, B, bool(penalty), bool(do_fine),
+            self.config.coarse_search_angle_offset, S, batched=True,
+        )
+        outs = prog(*(batch[k] for k in _VIEW_KEYS), mask, pose,
+                    q_lx, q_ly, n_q, center, center[:, :2], sub)
+        coarse, fine = np.asarray(outs[0]), np.asarray(outs[1])
+
+        results = []
+        for j, (query, base_scans) in enumerate(jobs):
+            response = float(fine[j][0] if do_fine else coarse[j][0])
+            if response <= 0.0 and self.config.use_response_expansion:
+                results.append(self.match_scan(query, base_scans, penalty, do_fine))
+            else:
+                results.append(self._assemble(coarse[j], fine[j], do_fine, None))
+        return results
 
     def _assemble(self, coarse, fine, do_fine, outs):
         cfg = self.config
@@ -274,8 +517,9 @@ class CorrelativeScanMatcher:
         if self.sanitize_covariance:
             covar = self._sanitize_covariance(covar)
         meta = None
-        if self.return_meta:
-            meta = {"grid": np.asarray(outs[2]), "kernel": np.outer(self._k1, self._k1)}
+        if self.return_meta and outs is not None and len(outs) > 2:
+            meta = {"grid": np.asarray(outs[2]),
+                    "kernel": np.outer(self._k1, self._k1)}
         return ScanMatcherResult(
             response, covar, Transform.from_position_euler(x, y, 0, 0, 0, t), meta
         )
@@ -312,14 +556,10 @@ class CorrelativeScanMatcher:
         """Rigidly match a set of query scans against base scans — the
         reference's submap-alignment path
         (/root/reference/yag_slam/scan_matching.py:56-122).  The grid is
-        centered on the query set's mean position; the result is a list of
-        corrected poses, one per query scan."""
+        centered on the query set's mean position; the result carries a
+        list of corrected poses, one per query scan."""
         if not query_scans or not base_scans:
             raise ValueError("match_scan_sets needs query and base scans")
-        cfg = self.config
-        res = cfg.resolution
-        G = self.grid_size
-
         ox_real = float(np.mean([q.corrected_pose.x for q in query_scans]))
         oy_real = float(np.mean([q.corrected_pose.y for q in query_scans]))
         oxy = Transform.from_position_euler(ox_real, oy_real, 0, 0, 0, 0)
@@ -329,7 +569,6 @@ class CorrelativeScanMatcher:
         # /root/reference/yag_slam/scan_matching.py:72-80) — preserved.
         viewpoint = query_scans[-1].corrected_pose
 
-        # Query points: all sets' world points shifted by the mean position.
         qx_list, qy_list = [], []
         for q in query_scans:
             px, py = q.points()
@@ -338,11 +577,19 @@ class CorrelativeScanMatcher:
         qx = np.concatenate(qx_list)
         qy = np.concatenate(qy_list)
 
-        result = self._match_prepared_query(
-            base_scans, qx, qy,
-            center=(ox_real, oy_real, 0.0),
-            viewpoint=(viewpoint.x, viewpoint.y),
-            penalty=penalty, do_fine=do_fine,
+        P = max(self._ensure_point_cap(base_scans), _next_bucket(len(qx)))
+        self._point_cap = P
+        np_dtype = np.dtype(self.dtype)
+        q_lx = np.full(P, _FAR, dtype=np_dtype)
+        q_ly = np.full(P, _FAR, dtype=np_dtype)
+        q_lx[: len(qx)] = qx
+        q_ly[: len(qy)] = qy
+
+        result = self._run_single(
+            base_scans, q_lx, q_ly, np.int32(len(qx)),
+            np.array([ox_real, oy_real, 0.0], dtype=np_dtype),
+            np.array([viewpoint.x, viewpoint.y], dtype=np_dtype),
+            penalty, do_fine, P,
         )
         diff = result.best_pose - oxy
         return ScanMatcherResult(
@@ -350,99 +597,90 @@ class CorrelativeScanMatcher:
             [diff + q.corrected_pose for q in query_scans], result.meta,
         )
 
-    def _match_prepared_query(self, base_scans, qx, qy, center, viewpoint,
-                              penalty, do_fine):
-        """Match pre-assembled query points (world-frame-relative) against
-        base scans; grid centered at `center`, validation viewpoint at
-        `viewpoint`."""
+    def match_scan_sets_with_map(self, cgrid, ox, oy, query_scans,
+                                 penalty=True, do_fine=True):
+        """Match a set of query scans against a *precomputed* correlation
+        grid (e.g. from a saved map via
+        occupancy_grid_map_to_correlation_grid) — the reference's
+        localize-against-map path, which is unrunnable as shipped (NameError
+        on `find_best_pose_non_symmetric`,
+        /root/reference/yag_slam/scan_matching.py:154 vs imports :24-26); we
+        implement it working, with its literal search parameters (coarse
+        ±0.25 m @ 0.01, ±0.1 rad @ 0.01, grid res 0.05, unpenalized)."""
+        if not query_scans:
+            raise ValueError("match_scan_sets_with_map needs query scans")
         cfg = self.config
-        P = max(
-            self._ensure_point_cap(base_scans), _next_bucket(len(qx))
-        )
-        self._point_cap = P
-        B = self._base_bucket(len(base_scans))
-        base = self._stack_base(base_scans, P, B)
+        res = cfg.resolution
+        ox_real = float(np.mean([q.corrected_pose.x for q in query_scans]))
+        oy_real = float(np.mean([q.corrected_pose.y for q in query_scans]))
+        oxy = Transform.from_position_euler(ox_real, oy_real, 0, 0, 0, 0)
 
+        qx_list, qy_list = [], []
+        for q in query_scans:
+            px, py = q.points()
+            qx_list.append(px - ox_real)
+            qy_list.append(py - oy_real)
+        qx = np.concatenate(qx_list)
+        qy = np.concatenate(qy_list)
+        P = _next_bucket(len(qx))
         np_dtype = np.dtype(self.dtype)
         q_lx = np.full(P, _FAR, dtype=np_dtype)
         q_ly = np.full(P, _FAR, dtype=np_dtype)
         q_lx[: len(qx)] = qx
         q_ly[: len(qy)] = qy
-        n_q = np.int32(len(qx))
-        center_arr = np.array(center, dtype=np_dtype)
 
-        # The shared program validates against the search center; scan-set
-        # matching needs a distinct viewpoint, so use a dedicated program.
-        prog = self._program_scan_sets(
-            P, B, bool(penalty), bool(do_fine), cfg.coarse_search_angle_offset
-        )
-        vp = np.array(viewpoint, dtype=np_dtype)
-        outs = prog(*base, q_lx, q_ly, n_q, center_arr, vp)
-        coarse, fine = np.asarray(outs[0]), np.asarray(outs[1])
-        return self._assemble(coarse, fine, do_fine, outs)
-
-    def _program_scan_sets(self, P, B, penalty, do_fine, coarse_offset):
-        key = ("sets", P, B, penalty, do_fine, round(coarse_offset, 12))
+        H, W = cgrid.shape
+        key = ("with_map", H, W, P, bool(penalty), bool(do_fine))
         prog = self._programs.get(key)
-        if prog is not None:
-            return prog
-        cfg = self.config
-        G = self.grid_size
-        res = cfg.resolution
-        dtype = self.dtype
-        k1 = self._k1
-        coarse_spec = C.LatticeSpec.from_search(
-            0.0, 0.0, 0.0, cfg.search_size * 0.5, res * 2,
-            coarse_offset * 0.5, cfg.coarse_angle_resolution,
-        )
-        fine_spec = C.LatticeSpec.from_search(
-            0.0, 0.0, 0.0, res * 2, res,
-            _FINE_ANGLE_SIZE, cfg.fine_search_angle_resolution,
-        )
+        if prog is None:
+            coarse_spec = C.LatticeSpec.from_search(0.0, 0.0, 0.0, 0.25, 0.01,
+                                                    0.1, 0.01)
+            fine_spec = C.LatticeSpec.from_search(
+                0.0, 0.0, 0.0, res * 2, res, _FINE_ANGLE_SIZE,
+                cfg.fine_search_angle_resolution,
+            )
+            G = max(H, W)
+            dtype = self.dtype
 
-        def fn(base_lx, base_ly, anchor, term, has_run, scan_mask, base_pose,
-               q_lx, q_ly, n_q, center, viewpoint):
-            cx, cy, ct = center[0], center[1], center[2]
-            ox = cx - 0.5 * (G - 1) * res
-            oy = cy - 0.5 * (G - 1) * res
-            ps, pc = jnp.sin(base_pose[:, 2:3]), jnp.cos(base_pose[:, 2:3])
-            wx = base_pose[:, 0:1] + pc * base_lx - ps * base_ly
-            wy = base_pose[:, 1:2] + ps * base_lx + pc * base_ly
-            keep = C.keep_mask_for_viewpoint(
-                wx, wy, anchor, term, has_run, scan_mask[:, None],
-                viewpoint[0], viewpoint[1],
-            )
-            cgrid = C.build_correlation_grid(
-                wx, wy, keep, ox, oy, grid_size=G, res=res, k1=k1, dtype=dtype
-            )
-            qflat = jnp.concatenate(
-                [C.quantize_grid(cgrid).ravel(), jnp.zeros(1, dtype=dtype)]
-            )
-            n_pts = n_q.astype(dtype)
-            common = dict(grid_size=G, grid_res=res, penalize=penalty, dtype=dtype)
-            coarse = C.find_best_pose(
-                qflat, q_lx, q_ly, n_pts, cx, cy, ct, ox, oy,
-                spec=coarse_spec, xy_size=cfg.search_size * 0.5, xy_res=res * 2,
-                ang_size=coarse_offset * 0.5,
-                ang_res=cfg.coarse_angle_resolution, **common,
-            )
-            if do_fine:
-                fine = C.find_best_pose(
-                    qflat, q_lx, q_ly, n_pts, coarse[1], coarse[2], coarse[3],
-                    ox, oy, spec=fine_spec, xy_size=res * 2, xy_res=res,
-                    ang_size=_FINE_ANGLE_SIZE,
-                    ang_res=cfg.fine_search_angle_resolution, **common,
+            def fn(grid, px, py, n_q, center):
+                padded = jnp.zeros((G, G), dtype=dtype).at[:H, :W].set(grid)
+                qflat = jnp.concatenate(
+                    [C.quantize_grid(padded).ravel(), jnp.zeros(1, dtype=dtype)]
                 )
-            else:
-                fine = coarse
-            outs = (jnp.stack(coarse), jnp.stack(fine))
-            if self.return_meta:
-                outs = outs + (cgrid,)
-            return outs
+                cx, cy, ct = center[0], center[1], center[2]
+                n_pts = n_q.astype(dtype)
+                coarse = C.find_best_pose(
+                    qflat, px, py, n_pts, cx, cy, ct, center[3], center[4],
+                    spec=coarse_spec, xy_size=0.25, xy_res=0.01,
+                    ang_size=0.1, ang_res=0.01, grid_size=G, grid_res=0.05,
+                    penalize=False, dtype=dtype, symmetric=False,
+                )
+                if do_fine:
+                    fine = C.find_best_pose(
+                        qflat, px, py, n_pts, coarse[1], coarse[2], coarse[3],
+                        center[3], center[4], spec=fine_spec, xy_size=res * 2,
+                        xy_res=res, ang_size=_FINE_ANGLE_SIZE,
+                        ang_res=cfg.fine_search_angle_resolution, grid_size=G,
+                        grid_res=res, penalize=penalty, dtype=dtype,
+                        symmetric=False,
+                    )
+                else:
+                    fine = coarse
+                return jnp.stack(coarse), jnp.stack(fine)
 
-        prog = jax.jit(fn)
-        self._programs[key] = prog
-        return prog
+            prog = jax.jit(fn)
+            self._programs[key] = prog
+
+        center = np.array([ox_real, oy_real, 0.0, ox, oy], dtype=np_dtype)
+        outs = prog(jnp.asarray(cgrid, dtype=self.dtype), q_lx, q_ly,
+                    np.int32(len(qx)), center)
+        coarse, fine = np.asarray(outs[0]), np.asarray(outs[1])
+        result = self._assemble(coarse, fine, do_fine, None)
+        diff = result.best_pose - oxy
+        return ScanMatcherResult(
+            result.response, result.covariance,
+            [q.corrected_pose + diff for q in query_scans], result.meta,
+        )
 
 
 # API-parity alias (the reference aliases `Scan2DMatcher = Scan2DMatcherPy`,

@@ -286,9 +286,25 @@ class GraphSlam:
         if chains and self.verbose:
             print(f"Found {len(chains)} chains for loop closure")
 
-        for chain in chains:
+        # Coarse-match every candidate chain in ONE batched device dispatch
+        # (the reference issues one C++ call per chain,
+        # /root/reference/yag_slam/graph_slam.py:217-220); results are
+        # independent, so first-accept semantics are preserved by walking
+        # them in order below.
+        if len(chains) > 1:
+            coarse_results = self.loop_matcher.match_many(
+                [(scan, chain) for chain in chains], penalty=False,
+                do_fine=False,
+            )
+        elif chains:
+            coarse_results = [
+                self.loop_matcher.match_scan(scan, chains[0], False, False)
+            ]
+        else:
+            coarse_results = []
+
+        for chain, res_coarse in zip(chains, coarse_results):
             self.stats["loop_chains_tried"] += 1
-            res_coarse = self.loop_matcher.match_scan(scan, chain, False, False)
             if res_coarse.response < self.min_response_coarse:
                 if self.verbose:
                     print(
