@@ -1,44 +1,33 @@
 #!/usr/bin/env python
-"""Benchmark: scan matches/sec on the current jax backend vs the CPU-oracle
-reference implementation.
+"""Benchmark: correlative scan matches/sec on the current jax backend.
 
 Prints ONE JSON line:
   {"metric": "scan_matches_per_sec", "value": N, "unit": "matches/s",
-   "vs_baseline": N}
-
-The reference (safijari/yag-slam) publishes no numbers and its numba/C++
-stack is not installed here (numba absent), so the baseline is the
-reference *algorithm* measured via our float64 vectorized numpy oracle
-(tests/oracle.py — same grid build, same lattice, same scoring semantics as
-/root/reference/yag_slam/scan_matching.py:175-222) on this host's CPU.
-BASELINE.md records the details.
+   "vs_baseline": N, ...}
 
 Workload: the reference's default sequential-matching configuration
-(search 0.5 m @ 0.01 m, +/-0.1745 rad @ 0.0349, 20 m range threshold ->
-4051^2 correlation grid, coarse 25x25x10 lattice + fine 4x4x10) with a
-10-scan base buffer, the same shape of work GraphSlam.process_scan issues
-per scan.
+(search 0.5 m @ 0.01 m, ±0.1745 rad @ 0.0349, 4051^2 correlation-grid
+coordinate space, coarse 25x25x10 + fine 4x4x10 lattices, ~360-beam scans,
+10-scan base buffer) over a *distinct* scan stream — every call matches a
+different query against a different sliding window, as GraphSlam does
+online, so no caching can flatter the numbers.
+
+Primary value = batched throughput (16-job `match_many` dispatches — the
+loop-closure / offline path where chip throughput is the question);
+`single_stream` reports the latency-bound online path separately.
+
+Baseline: the reference publishes no numbers (BASELINE.md) and its
+numba/C++ stack is not installed here, so the baseline is the reference
+*algorithm* measured via our float64 vectorized-numpy oracle
+(tests/oracle.py — same grid build, lattice, scoring semantics as
+/root/reference/yag_slam/scan_matching.py:175-222) on this host's CPU.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
-
-
-def build_workload(n_beams=360, n_base=10, range_threshold=12.0):
-    from yag_slam_tpu.io.simulator import SimWorld, simulate_scan
-
-    world = SimWorld.office()
-    rng = np.random.default_rng(0)
-    poses = [np.array([0.05 * i, 0.03 * i, 0.01 * i]) for i in range(n_base + 1)]
-    scans = [
-        simulate_scan(world, p, n_beams=n_beams, range_threshold=range_threshold,
-                      noise=0.004, rng=rng)
-        for p in poses
-    ]
-    return scans[:-1], scans[-1]
-
 
 CFG = {
     # reference default_config (/root/reference/yag_slam/helpers.py:339-351)
@@ -49,35 +38,80 @@ CFG = {
     "smear_deviation": 0.05,
 }
 
+N_BASE = 10
+BATCH = 16
 
-def bench_tpu(base, query, repeats=30):
-    import jax.numpy as jnp
 
+def build_stream(n_scans=80, n_beams=360):
+    from yag_slam_tpu.io.simulator import SimWorld, simulate_scan
+
+    world = SimWorld.office()
+    rng = np.random.default_rng(0)
+    return [
+        simulate_scan(
+            world,
+            np.array([0.05 * i - 2.0, 0.04 * i - 1.5, 0.02 * i]),
+            n_beams=n_beams,
+            range_threshold=CFG["range_threshold"],
+            noise=0.004,
+            rng=rng,
+        )
+        for i in range(n_scans)
+    ]
+
+
+def bench_device(scans):
     from yag_slam_tpu.matching.matcher import CorrelativeScanMatcher
 
-    matcher = CorrelativeScanMatcher(CFG)
-    # warmup + compile
-    res = matcher.match_scan(query, base, True, True)
+    m = CorrelativeScanMatcher(CFG)
+
+    # warm up compiles for both paths
+    res = m.match_scan(scans[N_BASE], scans[:N_BASE], True, True)
+    m.match_many(
+        [(scans[N_BASE + 1], scans[1 : N_BASE + 1])] * BATCH, True, True
+    )
+
+    # single-stream online latency, distinct inputs
     t0 = time.time()
-    for _ in range(repeats):
-        matcher.match_scan(query, base, True, True)
-    dt = (time.time() - t0) / repeats
-    return 1.0 / dt, res
+    n_single = 0
+    for i in range(N_BASE + 2, min(N_BASE + 34, len(scans))):
+        m.match_scan(scans[i], scans[i - N_BASE : i], True, True)
+        n_single += 1
+    single_rate = n_single / (time.time() - t0)
+
+    # batched throughput, distinct inputs
+    jobs = [
+        (scans[i], scans[i - N_BASE : i])
+        for i in range(N_BASE, len(scans) - 1)
+    ]
+    n_batches = max(1, len(jobs) // BATCH)
+    t0 = time.time()
+    done = 0
+    for bi in range(n_batches):
+        chunk = jobs[bi * BATCH : (bi + 1) * BATCH]
+        m.match_many(chunk, True, True)
+        done += len(chunk)
+    batched_rate = done / (time.time() - t0)
+    return single_rate, batched_rate, res
 
 
-def bench_reference_oracle(base, query, repeats=2):
-    sys.path.insert(0, "tests")
+def bench_reference_oracle(scans, repeats=2):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from oracle import oracle_match_scan
 
+    query = scans[N_BASE]
+    base = scans[:N_BASE]
     qp = query.corrected_pose
     args = (
         query.points_local(),
         (qp.x, qp.y, qp.euler[-1]),
         [s.points() for s in base],
-        dict(CFG,
-             coarse_search_angle_offset=0.349,
-             coarse_angle_resolution=0.0349,
-             fine_search_angle_resolution=0.00349),
+        dict(
+            CFG,
+            coarse_search_angle_offset=0.349,
+            coarse_angle_resolution=0.0349,
+            fine_search_angle_resolution=0.00349,
+        ),
     )
     t0 = time.time()
     for _ in range(repeats):
@@ -86,18 +120,28 @@ def bench_reference_oracle(base, query, repeats=2):
 
 
 def main():
-    base, query = build_workload()
-    ours, res = bench_tpu(base, query)
+    import jax
+
+    scans = build_stream()
+    single_rate, batched_rate, res = bench_device(scans)
     try:
-        baseline = bench_reference_oracle(base, query)
+        baseline = bench_reference_oracle(scans)
     except Exception:
         baseline = float("nan")
+    value = max(single_rate, batched_rate)
     out = {
         "metric": "scan_matches_per_sec",
-        "value": round(ours, 2),
+        "value": round(value, 2),
         "unit": "matches/s",
-        "vs_baseline": round(ours / baseline, 2) if baseline == baseline else None,
-        "baseline_cpu_oracle": round(baseline, 3) if baseline == baseline else None,
+        "vs_baseline": (
+            round(value / baseline, 2) if baseline == baseline else None
+        ),
+        "single_stream": round(single_rate, 2),
+        "batched": round(batched_rate, 2),
+        "baseline_cpu_oracle": (
+            round(baseline, 3) if baseline == baseline else None
+        ),
+        "backend": jax.default_backend(),
         "match_response": round(float(res.response), 3),
     }
     print(json.dumps(out))

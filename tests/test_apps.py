@@ -1,0 +1,141 @@
+"""Application layer: online mapper (ROS-free node equivalent), CARMEN
+loader integration, offline CLI."""
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from yag_slam_tpu.apps.online import OnlineMapper, ThreadedOnlineMapper
+from yag_slam_tpu.io.carmen import load_carmen_log, carmen_to_localized_scans
+from yag_slam_tpu.io.simulator import (
+    SimWorld,
+    drifted_odometry,
+    simulate_scan,
+    square_loop_trajectory,
+)
+
+SMALL_SEQ = {"range_threshold": 5.0, "search_size": 0.5, "resolution": 0.02,
+             "smear_deviation": 0.05}
+SMALL_LOOP = {"range_threshold": 5.0, "search_size": 2.0, "resolution": 0.05,
+              "smear_deviation": 0.05}
+
+
+def feed(mapper, n_poses=20, seed=0):
+    world = SimWorld.office()
+    gt = square_loop_trajectory(side=5.0, step=0.5, laps=1, start=(-2.5, -2.5))
+    gt = gt[:n_poses]
+    odom = drifted_odometry(gt, yaw_bias=0.002, seed=seed)
+    rng = np.random.default_rng(seed)
+    results = []
+    for i in range(len(gt)):
+        scan = simulate_scan(world, gt[i], n_beams=200, range_threshold=5.0,
+                             noise=0.004, rng=rng)
+        results.append(
+            mapper.add_scan(
+                scan.ranges, scan.min_angle, scan.max_angle,
+                scan.angle_increment, 0.0, 30.0, tuple(odom[i]),
+            )
+        )
+    return gt, odom, results
+
+
+def make_mapper(**kw):
+    return OnlineMapper(
+        seq_config=SMALL_SEQ, loop_config=SMALL_LOOP,
+        min_distance=0.4, min_rotation=0.4,
+        range_threshold=5.0, loop_search_distance=2.0,
+        loop_search_min_chain_size=5,
+        min_response_coarse=0.35, min_response_fine=0.45,
+        dtype=jnp.float64, **kw,
+    )
+
+
+def test_online_mapper_gating_and_tracking():
+    maps_seen = []
+    mapper = make_mapper(map_callback=lambda im, grid: maps_seen.append(im),
+                         map_every_n_scans=5)
+    gt, odom, results = feed(mapper, n_poses=16)
+    integrated = [r[0] for r in results]
+    # first scan integrates; straight-line 0.5 m steps beat the 0.4 m gate
+    assert integrated[0] and sum(integrated) >= 10
+    assert len(mapper.slam.graph.vertices) == sum(integrated)
+    # map callback fired with ROS-style values
+    assert maps_seen
+    vals = set(np.unique(maps_seen[-1]))
+    assert vals.issubset({-1, 0, 100})
+
+    # map->odom should roughly cancel odometry drift (small here)
+    m2o = mapper.map_to_odom()
+    assert abs(m2o.x) < 0.5 and abs(m2o.y) < 0.5
+
+
+def test_online_mapper_motion_gate_rejects_static():
+    mapper = make_mapper()
+    world = SimWorld.office()
+    scan = simulate_scan(world, np.array([0.0, 0.0, 0.0]), n_beams=200,
+                         range_threshold=5.0)
+    for i in range(5):
+        ok, _, _ = mapper.add_scan(
+            scan.ranges, scan.min_angle, scan.max_angle, scan.angle_increment,
+            0.0, 30.0, (0.001 * i, 0.0, 0.0),
+        )
+        assert ok == (i == 0)
+
+
+def test_threaded_online_mapper():
+    mapper = ThreadedOnlineMapper(
+        seq_config=SMALL_SEQ, loop_config=SMALL_LOOP,
+        min_distance=0.4, min_rotation=0.4, range_threshold=5.0,
+        dtype=jnp.float64,
+    )
+    try:
+        world = SimWorld.office()
+        gt = square_loop_trajectory(side=5.0, step=0.5, laps=1,
+                                    start=(-2.5, -2.5))[:8]
+        rng = np.random.default_rng(0)
+        for p in gt:
+            scan = simulate_scan(world, p, n_beams=200, range_threshold=5.0,
+                                 noise=0.004, rng=rng)
+            mapper.enqueue_scan(
+                scan.ranges, scan.min_angle, scan.max_angle,
+                scan.angle_increment, 0.0, 30.0, tuple(p),
+            )
+        assert mapper.drain(timeout=120)
+        assert len(mapper.slam.graph.vertices) >= 6
+    finally:
+        mapper.close()
+
+
+def test_carmen_loader(tmp_path):
+    n = 180
+    rng = np.random.default_rng(5)
+    lines = []
+    for i in range(4):
+        ranges = " ".join(f"{v:.3f}" for v in rng.uniform(0.5, 15.0, n))
+        lines.append(
+            f"FLASER {n} {ranges} {0.1*i} {0.0} {0.0} {0.1*i} {0.0} {0.0} "
+            f"{100.0+i} host {1.0+i}"
+        )
+    path = tmp_path / "mini.clf"
+    path.write_text("\n".join(lines) + "\n")
+    scans = load_carmen_log(str(path))
+    assert len(scans) == 4
+    assert len(scans[0].ranges) == n
+    assert np.isclose(scans[1].odom_x, 0.1)
+    lrs = carmen_to_localized_scans(scans)
+    assert len(lrs) == 4
+    px, py = lrs[0].points()
+    assert len(px) > 100
+
+
+def test_offline_mapper_cli(tmp_path):
+    from yag_slam_tpu.apps.offline_mapper import main
+
+    out = str(tmp_path / "run")
+    summary = main(["--synthetic-laps", "1", "--out", out])
+    assert summary["vertices"] > 30
+    assert summary["ate_rmse"] < 0.3
+    import os
+
+    assert os.path.exists(out + ".graph")

@@ -1,0 +1,124 @@
+"""Native C++ host ops must agree exactly with the pure-Python fallbacks."""
+import numpy as np
+import pytest
+
+from yag_slam_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native extension not built"
+)
+
+
+def python_compact(ranges, min_angle, inc, threshold, cap):
+    r = np.asarray(ranges, dtype=np.float64)
+    keep = ~(np.isnan(r) | (r > threshold))
+    idx = np.nonzero(keep)[0]
+    xs = np.zeros(cap)
+    ys = np.zeros(cap)
+    xs[: len(idx)] = r[idx] * np.cos(min_angle + idx * inc)
+    ys[: len(idx)] = r[idx] * np.sin(min_angle + idx * inc)
+    return xs, ys, len(idx)
+
+
+def test_compact_beams_parity():
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        r = rng.uniform(0, 30, 360)
+        r[rng.random(360) < 0.1] = np.nan
+        nx, ny, nn = native.compact_beams(r, -np.pi, 2 * np.pi / 360, 20.0, 512)
+        px, py, pn = python_compact(r, -np.pi, 2 * np.pi / 360, 20.0, 512)
+        assert nn == pn
+        np.testing.assert_allclose(nx, px, atol=1e-15)
+        np.testing.assert_allclose(ny, py, atol=1e-15)
+
+
+def test_segment_runs_parity():
+    # compare against the module-level python implementation by bypassing
+    # the native dispatch
+    from yag_slam_tpu.matching import correlation as C
+
+    rng = np.random.default_rng(1)
+    walk = np.cumsum(rng.uniform(0, 0.12, (300, 2)), axis=0)
+    px, py = walk[:, 0], walk[:, 1]
+    na, nt, nh = native.segment_runs(px, py, len(px))
+
+    # python reference (inline copy of the documented algorithm)
+    n = len(px)
+    pa = np.zeros(n, np.int32)
+    pt = np.zeros(n, np.int32)
+    ph = np.zeros(n, bool)
+    fp, run_start = 0, 1
+    for i in range(1, n):
+        if (px[fp] - px[i]) ** 2 + (py[fp] - py[i]) ** 2 > 0.04:
+            pa[run_start : i + 1] = fp
+            pt[run_start : i + 1] = i
+            ph[run_start : i + 1] = True
+            fp, run_start = i, i + 1
+    np.testing.assert_array_equal(na, pa)
+    np.testing.assert_array_equal(nt, pt)
+    np.testing.assert_array_equal(nh, ph)
+
+
+def test_parse_carmen_parity(tmp_path):
+    from yag_slam_tpu.io.carmen import parse_carmen_line
+
+    n = 180
+    rng = np.random.default_rng(2)
+    lines = []
+    for i in range(5):
+        ranges = " ".join(f"{v:.3f}" for v in rng.uniform(0.1, 20.0, n))
+        lines.append(
+            f"FLASER {n} {ranges} {0.1*i:.4f} {0.2*i:.4f} {0.05*i:.4f} "
+            f"{0.1*i:.4f} {0.2*i:.4f} {0.05*i:.4f} {100.0+i:.4f} host {1.0+i:.4f}"
+        )
+    path = tmp_path / "log.clf"
+    path.write_text("\n".join(lines) + "\n")
+
+    native_scans = native.parse_carmen(str(path))
+    py_scans = [parse_carmen_line(l) for l in lines]
+    assert len(native_scans) == 5
+    for ns, ps in zip(native_scans, py_scans):
+        np.testing.assert_allclose(ns.ranges, ps.ranges, atol=1e-12)
+        assert np.isclose(ns.odom_x, ps.odom_x)
+        assert np.isclose(ns.odom_theta, ps.odom_theta)
+        assert np.isclose(ns.min_angle, ps.min_angle)
+        assert np.isclose(ns.angle_increment, ps.angle_increment)
+
+
+def test_full_pipeline_native_vs_python_matching():
+    """A matcher run must give identical results whichever host path built
+    the scan views."""
+    import jax.numpy as jnp
+    from yag_slam_tpu.io.simulator import SimWorld, simulate_scan
+    from yag_slam_tpu.matching.matcher import CorrelativeScanMatcher
+    import yag_slam_tpu.native as nat
+
+    cfg = {"range_threshold": 5.0, "resolution": 0.05, "search_size": 2.0,
+           "smear_deviation": 0.05}
+    world = SimWorld.office()
+    rng = np.random.default_rng(3)
+    mk = lambda p: simulate_scan(world, np.array(p), n_beams=180,
+                                 range_threshold=5.0, noise=0.004, rng=rng)
+
+    def run(force_python):
+        saved = nat.HAVE_NATIVE
+        nat.HAVE_NATIVE = not force_python and saved
+        try:
+            rng2 = np.random.default_rng(3)
+            mk2 = lambda p: simulate_scan(world, np.array(p), n_beams=180,
+                                          range_threshold=5.0, noise=0.004,
+                                          rng=rng2)
+            base = [mk2([0.2 * i, 0.1, 0.0]) for i in range(3)]
+            query = mk2([0.15, 0.12, 0.03])
+            m = CorrelativeScanMatcher(cfg, loop=True, dtype=jnp.float64)
+            return m.match_scan(query, base, True, True)
+        finally:
+            nat.HAVE_NATIVE = saved
+
+    a = run(force_python=False)
+    b = run(force_python=True)
+    assert np.isclose(a.response, b.response, rtol=1e-12)
+    assert np.allclose(
+        [a.best_pose.x, a.best_pose.y], [b.best_pose.x, b.best_pose.y],
+        atol=1e-12,
+    )

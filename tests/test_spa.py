@@ -139,3 +139,37 @@ def test_incremental_reuse():
     for i in range(40):
         n = spa.nodes[i]
         assert np.allclose([n.x, n.y, n.yaw], [float(i), 0.0, 0.0], atol=1e-4)
+
+
+def test_cg_solver_matches_dense():
+    """Matrix-free PCG path must reach the same optimum as the dense
+    factorization."""
+    dense = SPA2d(solver="dense")
+    cg = SPA2d(solver="cg")
+    rng = np.random.default_rng(11)
+    true = [np.array([0.0, 0.0, 0.0])]
+    for side in range(4):
+        for _ in range(5):
+            true.append(se2_compose(true[-1], np.array([1.0, 0.0, 0.0])))
+        true.append(se2_compose(true[-1], np.array([0.0, 0.0, np.pi / 2])))
+    n = len(true)
+    info = np.diag([40.0, 40.0, 90.0])
+    guesses = [true[0]]
+    edges = []
+    for i in range(n - 1):
+        mean = relative(true[i], true[i + 1]) + rng.normal(0, 0.02, 3)
+        edges.append(((i, i + 1), mean))
+        guesses.append(se2_compose(guesses[-1], mean))
+    edges.append(((n - 1, 0), relative(true[-1], true[0])))
+
+    for spa in (dense, cg):
+        for i, g in enumerate(guesses):
+            spa.add_node(g[0], g[1], g[2], i)
+        for (i, j), mean in edges:
+            spa.add_constraint(i, j, *mean, info.tolist())
+
+    cd = dense.compute(100, 1.0e-4, True, 1.0e-12, 200)
+    cc = cg.compute(100, 1.0e-4, True, 1.0e-12, 200)
+    assert np.isclose(cd, cc, rtol=1e-4)
+    for a, b in zip(dense.nodes, cg.nodes):
+        assert np.allclose([a.x, a.y, a.yaw], [b.x, b.y, b.yaw], atol=1e-3)

@@ -60,6 +60,12 @@ def beam_points_padded(ranges, min_angle, angle_increment, range_threshold, cap)
 
     Returns (xs, ys, n_valid) with float64 arrays of shape (cap,).
     """
+    from yag_slam_tpu import native
+
+    if native.available():
+        return native.compact_beams(
+            ranges, min_angle, angle_increment, range_threshold, cap
+        )
     r = np.asarray(ranges, dtype=np.float64)
     keep = ~(np.isnan(r) | (r > range_threshold))
     idx = np.nonzero(keep)[0]

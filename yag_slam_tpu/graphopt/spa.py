@@ -189,6 +189,151 @@ def lm_run(poses, eidx, means, infos, emask, free_mask, lam0, tol, *,
     return p, cost, iters
 
 
+def _edge_blocks(poses, eidx, means, infos, emask):
+    """Per-edge residuals, Jacobians and masked weights (shared by the
+    matrix-free path)."""
+    r = edge_residuals(poses, eidx, means)
+    Ji, Jj = edge_jacobians(poses, eidx)
+    W = jnp.where(emask[:, None, None], infos, 0.0)
+    return r, Ji, Jj, W
+
+
+def _hessian_diag_blocks(Ji, Jj, W, eidx, free_mask, n_cap, dtype):
+    """Block-diagonal of H as (N, 3, 3) — the PCG preconditioner and the
+    Marquardt damping diagonal."""
+    Dii = jnp.einsum("eki,ekl,elj->eij", Ji, W, Ji)
+    Djj = jnp.einsum("eki,ekl,elj->eij", Jj, W, Jj)
+    D = jnp.zeros((n_cap, 3, 3), dtype=dtype)
+    D = D.at[eidx[:, 0]].add(Dii)
+    D = D.at[eidx[:, 1]].add(Djj)
+    fm = free_mask.astype(dtype)
+    eye = jnp.eye(3, dtype=dtype)
+    return D * fm[:, None, None] + (1.0 - fm)[:, None, None] * eye
+
+
+def _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype):
+    """Matrix-free H @ v over the edge list (v: (N, 3))."""
+    i = eidx[:, 0]
+    j = eidx[:, 1]
+    fm = free_mask.astype(dtype)
+
+    def hvp(v):
+        # fixed/padded nodes act as identity rows (consistent with the
+        # dense assembly's gauge handling); their rhs is zero so any
+        # nonsingular scaling works.
+        vf = v * fm[:, None]
+        Jiv = jnp.einsum("eij,ej->ei", Ji, vf[i])
+        Jjv = jnp.einsum("eij,ej->ei", Jj, vf[j])
+        Wr = jnp.einsum("eij,ej->ei", W, Jiv + Jjv)
+        out = jnp.zeros((n_cap, 3), dtype=dtype)
+        out = out.at[i].add(jnp.einsum("eji,ej->ei", Ji, Wr))
+        out = out.at[j].add(jnp.einsum("eji,ej->ei", Jj, Wr))
+        return out * fm[:, None] + (1.0 - fm)[:, None] * v
+
+    return hvp
+
+
+def _lm_candidate_cg(poses, eidx, means, infos, emask, free_mask, lam, *,
+                     n_cap, cg_iters):
+    """Damped step via block-Jacobi-preconditioned conjugate gradients —
+    the matrix-free path for graphs where a dense 3Nx3N factorization no
+    longer makes sense."""
+    dtype = poses.dtype
+    r, Ji, Jj, W = _edge_blocks(poses, eidx, means, infos, emask)
+    fm = free_mask.astype(dtype)
+
+    b = jnp.zeros((n_cap, 3), dtype=dtype)
+    JiWr = jnp.einsum("eji,ejl,el->ei", Ji, W, r)
+    JjWr = jnp.einsum("eji,ejl,el->ei", Jj, W, r)
+    b = b.at[eidx[:, 0]].add(JiWr)
+    b = b.at[eidx[:, 1]].add(JjWr)
+    b = -b * fm[:, None]
+
+    D = _hessian_diag_blocks(Ji, Jj, W, eidx, free_mask, n_cap, dtype)
+    hvp = _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype)
+    # Marquardt damping on the block diagonal
+    damped_diag = D + lam * D * jnp.eye(3, dtype=dtype)[None]
+
+    def avp(v):
+        base = hvp(v)
+        extra = lam * jnp.einsum(
+            "nij,nj->ni", D * jnp.eye(3, dtype=dtype)[None], v
+        )
+        return base + extra * fm[:, None]
+
+    Minv = jnp.linalg.inv(
+        damped_diag + 1e-12 * jnp.eye(3, dtype=dtype)[None]
+    )
+
+    def precond(v):
+        return jnp.einsum("nij,nj->ni", Minv, v)
+
+    def dot(a, bb):
+        return jnp.sum(a * bb)
+
+    x = jnp.zeros_like(b)
+    res = b - avp(x)
+    z = precond(res)
+    p = z
+    rz = dot(res, z)
+
+    def body(carry):
+        x, res, p, rz, it = carry
+        Ap = avp(p)
+        alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+        x = x + alpha * p
+        res = res - alpha * Ap
+        z = precond(res)
+        rz_new = dot(res, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, res, p, rz_new, it + 1)
+
+    def cond(carry):
+        _, res, _, _, it = carry
+        return jnp.logical_and(it < cg_iters, dot(res, res) > 1e-18)
+
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, res, p, rz, 0))
+
+    delta = x * fm[:, None]
+    cand = poses + delta
+    cand = cand.at[:, 2].set(_wrap(cand[:, 2]))
+    cost = graph_cost(cand, eidx, means, infos, emask, n_cap=n_cap)
+    return cand, cost
+
+
+@partial(jax.jit, static_argnames=("n_cap", "max_iters", "cg_iters"))
+def lm_run_cg(poses, eidx, means, infos, emask, free_mask, lam0, tol, *,
+              n_cap, max_iters, cg_iters):
+    """LM loop with matrix-free PCG steps, fused into one device program."""
+    cost0 = graph_cost(poses, eidx, means, infos, emask, n_cap=n_cap)
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return jnp.logical_and(jnp.logical_not(done), it < max_iters)
+
+    def body(carry):
+        p, cost, lam, it, _ = carry
+        cand, new_cost = _lm_candidate_cg(
+            p, eidx, means, infos, emask, free_mask, lam,
+            n_cap=n_cap, cg_iters=cg_iters,
+        )
+        accept = jnp.isfinite(new_cost) & (new_cost <= cost)
+        decrease = cost - new_cost
+        p = jnp.where(accept, cand, p)
+        new_lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1.0e-12), lam * 4.0)
+        done = (accept & (decrease < tol * jnp.maximum(new_cost, 1.0))) | (
+            jnp.logical_not(accept) & (new_lam > 1.0e8)
+        )
+        cost = jnp.where(accept, new_cost, cost)
+        return (p, cost, new_lam, it + 1, done)
+
+    p, cost, _, iters, _ = jax.lax.while_loop(
+        cond, body, (poses, cost0, lam0, jnp.int32(0), jnp.bool_(False))
+    )
+    return p, cost, iters
+
+
 def _cap(n, minimum=16):
     c = minimum
     while c < n:
@@ -197,10 +342,19 @@ def _cap(n, minimum=16):
 
 
 class PoseGraphSolver:
-    """Array-native LM solver over growing node/edge arrays."""
+    """Array-native LM solver over growing node/edge arrays.
 
-    def __init__(self, dtype=None):
+    `solver`: "dense" (device Cholesky/LU of the full 3Nx3N system),
+    "cg" (matrix-free block-Jacobi PCG — edge-list matvecs only), or
+    "auto" (dense up to `dense_node_limit` nodes, CG beyond).
+    """
+
+    DENSE_NODE_LIMIT = 1024
+
+    def __init__(self, dtype=None, solver="auto", dense_node_limit=None):
         self.dtype = dtype  # None -> jax default (x64 on CPU tests)
+        self.solver = solver
+        self.dense_node_limit = dense_node_limit or self.DENSE_NODE_LIMIT
         self.poses = []  # python lists; packed per solve
         self.edge_idx = []
         self.edge_means = []
@@ -228,7 +382,7 @@ class PoseGraphSolver:
 
     # -- solve --------------------------------------------------------------
     def optimize(self, max_iters=100, init_lambda=1.0e-4, tol=1.0e-9,
-                 verbose=False):
+                 verbose=False, max_cg_iters=50):
         n = len(self.poses)
         e = len(self.edge_idx)
         if n < 2 or e == 0:
@@ -261,12 +415,23 @@ class PoseGraphSolver:
         )
         free_j = jnp.asarray(free)
 
-        final_poses, cost, iters = lm_run(
-            poses_j, *args, free_j,
-            jnp.asarray(init_lambda, dtype=dtype),
-            jnp.asarray(tol, dtype=dtype),
-            n_cap=n_cap, max_iters=max_iters,
+        use_cg = self.solver == "cg" or (
+            self.solver == "auto" and n > self.dense_node_limit
         )
+        if use_cg:
+            final_poses, cost, iters = lm_run_cg(
+                poses_j, *args, free_j,
+                jnp.asarray(init_lambda, dtype=dtype),
+                jnp.asarray(tol, dtype=dtype),
+                n_cap=n_cap, max_iters=max_iters, cg_iters=max_cg_iters,
+            )
+        else:
+            final_poses, cost, iters = lm_run(
+                poses_j, *args, free_j,
+                jnp.asarray(init_lambda, dtype=dtype),
+                jnp.asarray(tol, dtype=dtype),
+                n_cap=n_cap, max_iters=max_iters,
+            )
         cost = float(cost)
         if verbose:
             print(f"[spa] converged in {int(iters)} iters, chi2 {cost:.6g}")
@@ -292,8 +457,8 @@ class SPA2d:
     /root/reference/yag_slam/graph_slam.py:65,125-126,147,177-178,265,
     269-270)."""
 
-    def __init__(self, dtype=None):
-        self._solver = PoseGraphSolver(dtype=dtype)
+    def __init__(self, dtype=None, solver="auto"):
+        self._solver = PoseGraphSolver(dtype=dtype, solver=solver)
 
     def add_node(self, x, y, yaw, node_id):
         self._solver.add_node(x, y, yaw, node_id)
@@ -303,10 +468,11 @@ class SPA2d:
 
     def compute(self, niter=100, s_lambda=1.0e-4, use_csparse=True,
                 init_tol=1.0e-9, max_cg_iters=50, verbose=False):
-        # use_csparse / max_cg_iters accepted for signature parity; the
-        # XLA solver picks its own factorization.
+        # use_csparse accepted for signature parity; the solver chooses
+        # dense vs matrix-free PCG by graph size (or the ctor override).
         return self._solver.optimize(
-            max_iters=niter, init_lambda=s_lambda, tol=init_tol, verbose=verbose
+            max_iters=niter, init_lambda=s_lambda, tol=init_tol,
+            verbose=verbose, max_cg_iters=max_cg_iters,
         )
 
     @property

@@ -63,7 +63,12 @@ def parse_carmen_line(line):
 
 
 def load_carmen_log(path, max_scans=None):
-    """Load laser scans from a CARMEN log file."""
+    """Load laser scans from a CARMEN log file (native parser when the C++
+    extension is built; pure-Python fallback otherwise)."""
+    from yag_slam_tpu import native
+
+    if native.available():
+        return native.parse_carmen(path, max_scans)
     scans = []
     with open(path) as ff:
         for line in ff:

@@ -84,6 +84,10 @@ def segment_validation_runs(px, py, n):
     Point 0 and any trailing unflushed run have has_run=False (the reference
     never emits them).
     """
+    from yag_slam_tpu import native
+
+    if native.available():
+        return native.segment_runs(px, py, n)
     anchor = np.zeros(n, dtype=np.int32)
     term = np.zeros(n, dtype=np.int32)
     has = np.zeros(n, dtype=bool)
