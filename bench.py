@@ -119,11 +119,58 @@ def bench_reference_oracle(scans, repeats=2):
     return repeats / (time.time() - t0)
 
 
+def bench_spa(n_nodes=500, repeats=3):
+    """SPA solve wall time on a noisy loop graph of n_nodes (the
+    reference's per-closure budget is <=100 LM iters on CPU,
+    /root/reference/yag_slam/graph_slam.py:265)."""
+    from yag_slam_tpu.core.transform import se2_compose, se2_relative
+    from yag_slam_tpu.graphopt.spa import SPA2d
+
+    rng = np.random.default_rng(0)
+    side = n_nodes // 4
+
+    def build2():
+        spa = SPA2d()
+        true = [np.array([0.0, 0.0, 0.0])]
+        for s in range(4):
+            for _ in range(side):
+                true.append(se2_compose(true[-1], np.array([0.5, 0.0, 0.0])))
+            true.append(se2_compose(true[-1], np.array([0.0, 0.0, np.pi / 2])))
+        guess = [true[0]]
+        means = []
+        for i in range(len(true) - 1):
+            mean = se2_relative(true[i + 1], true[i]) + rng.normal(0, 0.01, 3)
+            guess.append(se2_compose(guess[-1], mean))
+            means.append((i, i + 1, mean))
+        for i, g in enumerate(guess):
+            spa.add_node(g[0], g[1], g[2], i)
+        info = np.diag([100.0, 100.0, 400.0]).tolist()
+        for i, j, mean in means:
+            spa.add_constraint(i, j, *mean, info)
+        spa.add_constraint(len(true) - 1, 0,
+                           *se2_relative(true[0], true[-1]), info)
+        return spa
+
+    spa = build2()
+    spa.compute(100, 1.0e-4, True, 1.0e-9, 50)  # warm compile
+    times = []
+    for _ in range(repeats):
+        spa2 = build2()
+        t0 = time.time()
+        spa2.compute(100, 1.0e-4, True, 1.0e-9, 50)
+        times.append(time.time() - t0)
+    return min(times), len(spa._solver.poses)
+
+
 def main():
     import jax
 
     scans = build_stream()
     single_rate, batched_rate, res = bench_device(scans)
+    try:
+        spa_time, spa_nodes = bench_spa()
+    except Exception:
+        spa_time, spa_nodes = float("nan"), 0
     try:
         baseline = bench_reference_oracle(scans)
     except Exception:
@@ -144,6 +191,9 @@ def main():
         "backend": jax.default_backend(),
         "match_response": round(float(res.response), 3),
     }
+    if spa_time == spa_time:
+        out["spa_solve_ms"] = round(spa_time * 1000.0, 1)
+        out["spa_nodes"] = spa_nodes
     print(json.dumps(out))
 
 

@@ -191,6 +191,22 @@ class GraphSlam:
         obj.running_scans = [vs[i].obj for i in d["running_scans"]]
         return obj
 
+    # -- small utilities (reference surface parity) ---------------------------
+    def _print_config(self):
+        from yag_slam_tpu.core.config import print_config
+
+        print_config(self.seq_matcher.config)
+
+    @staticmethod
+    def _ranges_from_scan(scan, flip_ranges):
+        ranges = scan["ranges"] if isinstance(scan, dict) else scan.ranges
+        if flip_ranges:
+            ranges = ranges[::-1]
+        return ranges
+
+    def link_to_near_chains(self):
+        raise NotImplementedError("might be needed for a more cohesive graph")
+
     # -- graph construction --------------------------------------------------
     def add_vertex(self, scan):
         vertex = Vertex(scan)
