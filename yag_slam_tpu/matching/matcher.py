@@ -10,23 +10,27 @@ the scan-set variants used for submap alignment.
 Architecture (deliberately different from the reference's per-call C++
 marshalling):
 
-- every scan's matcher view is uploaded to the device once and cached on
-  the scan; base *sets* are stacked on device once per membership and
-  reused across the sliding window, so steady-state per-match traffic is a
-  handful of scalars;
+- a **device-resident scan library** holds every scan's matcher view
+  (compacted beam endpoints + validation-run structure) in preallocated
+  (K, P) arrays, uploaded once per scan.  A match dispatch carries only
+  slot indices, poses and the search center — kilobytes — and gathers the
+  views on device.  This keeps host->device traffic independent of how
+  many matches reference a scan (the sliding window re-reads each scan
+  ~buffer-length times; loop closures far more);
 - the host computes a tight, bucketed **subgrid** around the occupied
   bounding box each match.  Cells outside it are provably zero, so
   building and scoring against the subgrid is exact while shrinking the
   reference's G^2 grid (65 MB at default config) to the occupied extent;
 - grid build + Gaussian max-smear (a fused Pallas kernel on TPU) + coarse
-  + fine search run as one jitted program, batch-first: `match_many`
-  scores independent (query, base-set) jobs in a single dispatch — the
-  throughput path for loop-closure fans and offline workloads.
+  + fine search run as one jitted batch-first program: `match_scan` is the
+  N=1 case, `match_many` scores independent job batches per dispatch (the
+  loop-closure / offline throughput path).
 """
 from __future__ import annotations
 
 import math
 from collections import namedtuple
+from functools import partial
 
 import numpy as np
 import jax
@@ -90,20 +94,89 @@ def scan_matcher_view(scan, cap: int):
     return scan._points_cache[key]
 
 
-def scan_device_view(scan, cap: int, dtype):
-    """Device-resident view: uploaded once per (scan, cap, dtype) and
-    reused by every subsequent match involving this scan."""
-    key = ("matcher_view_dev", cap, np.dtype(dtype).name)
-    if key not in scan._points_cache:
-        v = scan_matcher_view(scan, cap)
-        scan._points_cache[key] = dict(
-            lx=jnp.asarray(v["lx"], dtype=dtype),
-            ly=jnp.asarray(v["ly"], dtype=dtype),
-            anchor=jnp.asarray(v["anchor"]),
-            term=jnp.asarray(v["term"]),
-            has_run=jnp.asarray(v["has_run"]),
+@partial(jax.jit, donate_argnums=(0,))
+def _library_insert(fields, rows, slot):
+    return {k: fields[k].at[slot].set(rows[k]) for k in fields}
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _library_grow(fields, new_cap_zeros):
+    return {
+        k: new_cap_zeros[k].at[: fields[k].shape[0]].set(fields[k])
+        for k in fields
+    }
+
+
+class DeviceScanLibrary:
+    """Device-resident store of scan matcher views: (K, P) arrays per
+    field, one upload per scan, index-addressed by match programs."""
+
+    def __init__(self, dtype, initial_cap=128):
+        self.dtype = dtype
+        self.initial_cap = initial_cap
+        self.fields = None
+        self.P = 0
+        self.K_cap = 0
+        self._slots = {}
+        self._scans = []  # strong refs keep id() keys unique
+
+    def _field_zeros(self, K, P):
+        return dict(
+            lx=jnp.zeros((K, P), dtype=self.dtype),
+            ly=jnp.zeros((K, P), dtype=self.dtype),
+            anchor=jnp.zeros((K, P), dtype=jnp.int32),
+            term=jnp.zeros((K, P), dtype=jnp.int32),
+            has_run=jnp.zeros((K, P), dtype=bool),
+            n=jnp.zeros((K,), dtype=jnp.int32),
         )
-    return scan._points_cache[key]
+
+    def _rebuild(self, P):
+        """Point capacity changed: re-upload every stored scan at the new
+        width (rare — P only grows on bigger sensors)."""
+        self.P = P
+        self.fields = self._field_zeros(self.K_cap, P)
+        for scan, slot in [(s, self._slots[id(s)]) for s in self._scans]:
+            self._upload(scan, slot)
+
+    def _upload(self, scan, slot):
+        v = scan_matcher_view(scan, self.P)
+        np_dtype = np.dtype(self.dtype)
+        rows = dict(
+            lx=v["lx"].astype(np_dtype),
+            ly=v["ly"].astype(np_dtype),
+            anchor=v["anchor"],
+            term=v["term"],
+            has_run=v["has_run"],
+            n=np.int32(v["n"]),
+        )
+        self.fields = _library_insert(self.fields, rows, slot)
+
+    def ensure(self, scans, P):
+        """Make sure every scan is resident at point-capacity P; returns
+        slot indices aligned with `scans`."""
+        if self.fields is None:
+            self.P = P
+            self.K_cap = self.initial_cap
+            self.fields = self._field_zeros(self.K_cap, P)
+        elif P > self.P:
+            self._rebuild(P)
+
+        out = []
+        for s in scans:
+            slot = self._slots.get(id(s))
+            if slot is None:
+                slot = len(self._scans)
+                if slot >= self.K_cap:
+                    new_cap = self.K_cap * 2
+                    self.fields = _library_grow(
+                        self.fields, self._field_zeros(new_cap, self.P)
+                    )
+                    self.K_cap = new_cap
+                self._slots[id(s)] = slot
+                self._scans.append(s)
+                self._upload(s, slot)
+            out.append(slot)
+        return np.asarray(out, dtype=np.int32)
 
 
 class CorrelativeScanMatcher:
@@ -143,8 +216,7 @@ class CorrelativeScanMatcher:
             use_pallas = pallas_available() and np.dtype(dtype) == np.float32
         self.use_pallas = use_pallas
         self._programs = {}
-        self._zero_views = {}
-        self._set_cache = {}
+        self.library = DeviceScanLibrary(dtype)
 
     # -- capacity management ------------------------------------------------
     def _ensure_point_cap(self, scans) -> int:
@@ -162,18 +234,6 @@ class CorrelativeScanMatcher:
         while b < n:
             b *= 2
         return b
-
-    def _zero_view(self, P):
-        key = (P, np.dtype(self.dtype).name)
-        if key not in self._zero_views:
-            self._zero_views[key] = dict(
-                lx=jnp.zeros(P, dtype=self.dtype),
-                ly=jnp.zeros(P, dtype=self.dtype),
-                anchor=jnp.zeros(P, dtype=jnp.int32),
-                term=jnp.zeros(P, dtype=jnp.int32),
-                has_run=jnp.zeros(P, dtype=bool),
-            )
-        return self._zero_views[key]
 
     # -- subgrid selection ----------------------------------------------------
     def _max_sub(self):
@@ -225,39 +285,20 @@ class CorrelativeScanMatcher:
         return sox, soy, S
 
     # -- compiled programs ------------------------------------------------------
-    def _program(self, P, B, penalty, do_fine, coarse_offset, S, batched):
-        key = (P, B, penalty, do_fine, round(coarse_offset, 12), S, batched)
+    def _program(self, P, B, penalty, do_fine, coarse_offset, S,
+                 q_from_library=True):
+        key = (P, B, penalty, do_fine, round(coarse_offset, 12), S,
+               q_from_library)
         prog = self._programs.get(key)
         if prog is None:
-            prog = self._build_program(P, B, penalty, do_fine, coarse_offset,
-                                       S, batched)
+            core = self._make_core(P, B, penalty, do_fine, coarse_offset, S,
+                                   q_from_library)
+            prog = jax.jit(core)
             self._programs[key] = prog
         return prog
 
-    def batched_core(self, P, B, penalty, do_fine, S, coarse_offset=None):
-        """The raw (unjitted) batch-first match function over arrays with a
-        leading job axis — for composition under shard_map/pjit (see
-        yag_slam_tpu.parallel.loop_search)."""
-        if coarse_offset is None:
-            coarse_offset = self.config.coarse_search_angle_offset
-        return self._make_core(P, B, penalty, do_fine, coarse_offset, S)
-
-    def _build_program(self, P, B, penalty, do_fine, coarse_offset, S, batched):
-        core = self._make_core(P, B, penalty, do_fine, coarse_offset, S)
-        if batched:
-            fn = core
-        else:
-            def fn(base, mask, pose, qlx, qly, n_q, center, vp, sub):
-                outs = core(
-                    *(base[k][None] for k in _VIEW_KEYS),
-                    mask[None], pose[None], qlx[None], qly[None],
-                    n_q[None], center[None], vp[None], sub[None],
-                )
-                return tuple(o[0] for o in outs)
-
-        return jax.jit(fn)
-
-    def _make_core(self, P, B, penalty, do_fine, coarse_offset, S):
+    def _make_core(self, P, B, penalty, do_fine, coarse_offset, S,
+                   q_from_library=True):
         cfg = self.config
         G = self.grid_size
         res = cfg.resolution
@@ -277,9 +318,21 @@ class CorrelativeScanMatcher:
             _FINE_ANGLE_SIZE, cfg.fine_search_angle_resolution,
         )
 
-        def core(base_lx, base_ly, anchor, term, has_run, mask, pose,
-                 qlx, qly, n_q, center, vp, sub):
-            # every operand carries a leading job axis N
+        def core(lib, idx, mask, pose, q_ref, center, vp, sub):
+            # lib: device library fields; idx (N, B) slots; q_ref is either
+            # (N,) query slots or an explicit (q_lx, q_ly, n_q) triple.
+            base_lx = lib["lx"][idx]      # (N, B, P)
+            base_ly = lib["ly"][idx]
+            anchor = lib["anchor"][idx]
+            term = lib["term"][idx]
+            has_run = lib["has_run"][idx]
+            if q_from_library:
+                qlx = lib["lx"][q_ref]    # (N, P)
+                qly = lib["ly"][q_ref]
+                n_q = lib["n"][q_ref]
+            else:
+                qlx, qly, n_q = q_ref
+
             cx, cy, ct = center[:, 0], center[:, 1], center[:, 2]
             ox = cx - 0.5 * (G - 1) * res
             oy = cy - 0.5 * (G - 1) * res
@@ -359,61 +412,41 @@ class CorrelativeScanMatcher:
 
         return core
 
-    # -- input assembly -------------------------------------------------------
-    def _stacked_set(self, base_scans, P, B):
-        """Device-stacked (B, P) views for a base set; cached per
-        membership so the sliding window re-stacks only when it changes."""
-        key = (tuple(id(s) for s in base_scans), P, B,
-               np.dtype(self.dtype).name)
-        hit = self._set_cache.get(key)
-        if hit is None:
-            views = [scan_device_view(s, P, self.dtype) for s in base_scans]
-            views += [self._zero_view(P)] * (B - len(base_scans))
-            stacked = {
-                k: jnp.stack([v[k] for v in views]) for k in _VIEW_KEYS
-            }
-            if len(self._set_cache) > 32:
-                self._set_cache.pop(next(iter(self._set_cache)))
-            # hold scan refs so ids stay unique while cached
-            self._set_cache[key] = (stacked, list(base_scans))
-            hit = self._set_cache[key]
-        return hit[0]
+    def batched_core(self, P, B, penalty, do_fine, S, coarse_offset=None):
+        """The raw (unjitted) batch-first match function — for composition
+        under shard_map/pjit (see yag_slam_tpu.parallel.loop_search)."""
+        if coarse_offset is None:
+            coarse_offset = self.config.coarse_search_angle_offset
+        return self._make_core(P, B, penalty, do_fine, coarse_offset, S,
+                               q_from_library=True)
 
-    def _mask_pose(self, base_scans, B):
+    # -- job assembly -----------------------------------------------------------
+    def _assemble_jobs(self, jobs, P, B, n_pad=None):
+        """Host-side per-job metadata (library slots + poses + subgrids) —
+        a few KB per dispatch; the heavy views live on device."""
+        N = n_pad or len(jobs)
         np_dtype = np.dtype(self.dtype)
-        mask = np.zeros(B, dtype=bool)
-        mask[: len(base_scans)] = True
-        pose = np.zeros((B, 3), dtype=np_dtype)
-        for i, s in enumerate(base_scans):
-            p = s.corrected_pose
-            pose[i] = (p.x, p.y, p.euler[-1])
-        return mask, pose
-
-    def _run_single(self, base_scans, q_lx, q_ly, n_q, center, viewpoint,
-                    penalty, do_fine, P):
-        cfg = self.config
-        B = self._base_bucket(len(base_scans))
-        base = self._stacked_set(base_scans, P, B)
-        mask, pose = self._mask_pose(base_scans, B)
-        sox, soy, S = self._subgrid_for(
-            base_scans, float(center[0]), float(center[1]), P
-        )
-        sub = np.array([sox, soy], dtype=np.int32)
-
-        coarse_offset = cfg.coarse_search_angle_offset
-        for attempt in range(1 + _EXPANSION_TRIES):
-            prog = self._program(P, B, bool(penalty), bool(do_fine),
-                                 coarse_offset, S, batched=False)
-            outs = prog(base, mask, pose, q_lx, q_ly, n_q, center, viewpoint,
-                        sub)
-            coarse, fine = np.asarray(outs[0]), np.asarray(outs[1])
-            response = float(fine[0] if do_fine else coarse[0])
-            if response > 0.0 or not cfg.use_response_expansion:
-                break
-            coarse_offset = (
-                cfg.coarse_search_angle_offset + (attempt + 1) * _EXPANSION_STEP
-            )
-        return self._assemble(coarse, fine, do_fine, outs)
+        idx = np.zeros((N, B), dtype=np.int32)
+        mask = np.zeros((N, B), dtype=bool)
+        pose = np.zeros((N, B, 3), dtype=np_dtype)
+        q_idx = np.zeros(N, dtype=np.int32)
+        center = np.zeros((N, 3), dtype=np_dtype)
+        sub = np.zeros((N, 2), dtype=np.int32)
+        S = 0
+        for j, (query, base_scans) in enumerate(jobs):
+            slots = self.library.ensure(list(base_scans) + [query], P)
+            idx[j, : len(base_scans)] = slots[:-1]
+            q_idx[j] = slots[-1]
+            mask[j, : len(base_scans)] = True
+            for i, s in enumerate(base_scans):
+                p = s.corrected_pose
+                pose[j, i] = (p.x, p.y, p.euler[-1])
+            p = query.corrected_pose
+            center[j] = (p.x, p.y, p.euler[-1])
+            sox, soy, S_j = self._subgrid_for(base_scans, p.x, p.y, P)
+            sub[j] = (sox, soy)
+            S = max(S, S_j)
+        return idx, mask, pose, q_idx, center, sub, S
 
     # -- public API -----------------------------------------------------------
     def match_scan(self, query, base_scans, penalty=True, do_fine=True):
@@ -423,16 +456,27 @@ class CorrelativeScanMatcher:
         from the coarse xy moments and the fine theta moment."""
         if not base_scans:
             raise ValueError("match_scan needs at least one base scan")
+        cfg = self.config
         P = self._ensure_point_cap(list(base_scans) + [query])
-        qv = scan_device_view(query, P, self.dtype)
-        n_q = np.int32(scan_matcher_view(query, P)["n"])
-        p = query.corrected_pose
-        np_dtype = np.dtype(self.dtype)
-        center = np.array([p.x, p.y, p.euler[-1]], dtype=np_dtype)
-        return self._run_single(
-            base_scans, qv["lx"], qv["ly"], n_q, center, center[:2],
-            penalty, do_fine, P,
+        B = self._base_bucket(len(base_scans))
+        idx, mask, pose, q_idx, center, sub, S = self._assemble_jobs(
+            [(query, base_scans)], P, B
         )
+
+        coarse_offset = cfg.coarse_search_angle_offset
+        for attempt in range(1 + _EXPANSION_TRIES):
+            prog = self._program(P, B, bool(penalty), bool(do_fine),
+                                 coarse_offset, S)
+            outs = prog(self.library.fields, idx, mask, pose, q_idx, center,
+                        center[:, :2], sub)
+            coarse, fine = np.asarray(outs[0][0]), np.asarray(outs[1][0])
+            response = float(fine[0] if do_fine else coarse[0])
+            if response > 0.0 or not cfg.use_response_expansion:
+                break
+            coarse_offset = (
+                cfg.coarse_search_angle_offset + (attempt + 1) * _EXPANSION_STEP
+            )
+        return self._assemble(coarse, fine, do_fine, outs)
 
     def match_many(self, jobs, penalty=True, do_fine=True):
         """Score independent (query, base_scans) jobs in one dispatch.
@@ -448,48 +492,16 @@ class CorrelativeScanMatcher:
         all_scans = [q for q, _ in jobs] + [s for _, bs in jobs for s in bs]
         P = self._ensure_point_cap(all_scans)
         B = self._base_bucket(max(len(bs) for _, bs in jobs))
-        N = len(jobs)
-        np_dtype = np.dtype(self.dtype)
-
-        batch = {
-            k: np.zeros((N, B, P), dtype=dt)
-            for k, dt in (
-                ("lx", np_dtype), ("ly", np_dtype),
-                ("anchor", np.int32), ("term", np.int32), ("has_run", bool),
-            )
-        }
-        mask = np.zeros((N, B), dtype=bool)
-        pose = np.zeros((N, B, 3), dtype=np_dtype)
-        q_lx = np.zeros((N, P), dtype=np_dtype)
-        q_ly = np.zeros((N, P), dtype=np_dtype)
-        n_q = np.zeros(N, dtype=np.int32)
-        center = np.zeros((N, 3), dtype=np_dtype)
-        sub = np.zeros((N, 2), dtype=np.int32)
-        S = 0
-        for j, (query, base_scans) in enumerate(jobs):
-            for i, s in enumerate(base_scans):
-                v = scan_matcher_view(s, P)
-                for k in _VIEW_KEYS:
-                    batch[k][j, i] = v[k]
-                mask[j, i] = True
-                p = s.corrected_pose
-                pose[j, i] = (p.x, p.y, p.euler[-1])
-            qv = scan_matcher_view(query, P)
-            q_lx[j] = qv["lx"]
-            q_ly[j] = qv["ly"]
-            n_q[j] = qv["n"]
-            p = query.corrected_pose
-            center[j] = (p.x, p.y, p.euler[-1])
-            sox, soy, S_j = self._subgrid_for(base_scans, p.x, p.y, P)
-            sub[j] = (sox, soy)
-            S = max(S, S_j)
+        idx, mask, pose, q_idx, center, sub, S = self._assemble_jobs(
+            jobs, P, B
+        )
 
         prog = self._program(
             P, B, bool(penalty), bool(do_fine),
-            self.config.coarse_search_angle_offset, S, batched=True,
+            self.config.coarse_search_angle_offset, S,
         )
-        outs = prog(*(batch[k] for k in _VIEW_KEYS), mask, pose,
-                    q_lx, q_ly, n_q, center, center[:, :2], sub)
+        outs = prog(self.library.fields, idx, mask, pose, q_idx, center,
+                    center[:, :2], sub)
         coarse, fine = np.asarray(outs[0]), np.asarray(outs[1])
 
         results = []
@@ -518,7 +530,7 @@ class CorrelativeScanMatcher:
             covar = self._sanitize_covariance(covar)
         meta = None
         if self.return_meta and outs is not None and len(outs) > 2:
-            meta = {"grid": np.asarray(outs[2]),
+            meta = {"grid": np.asarray(outs[2][0]),
                     "kernel": np.outer(self._k1, self._k1)}
         return ScanMatcherResult(
             response, covar, Transform.from_position_euler(x, y, 0, 0, 0, t), meta
@@ -552,6 +564,35 @@ class CorrelativeScanMatcher:
         return covar
 
     # -- scan-set (submap) matching ------------------------------------------
+    def _match_explicit_query(self, base_scans, q_lx, q_ly, n_q, center_xyt,
+                              viewpoint_xy, penalty, do_fine, P):
+        """One match with explicit query points (not library-resident) —
+        the scan-set paths."""
+        B = self._base_bucket(len(base_scans))
+        idx, mask, pose, _, _, sub, S = self._assemble_jobs(
+            [(base_scans[0], base_scans)], P, B
+        )
+        np_dtype = np.dtype(self.dtype)
+        center = np.asarray(center_xyt, dtype=np_dtype)[None]
+        sox, soy, S = self._subgrid_for(
+            base_scans, float(center_xyt[0]), float(center_xyt[1]), P
+        )
+        sub = np.array([[sox, soy]], dtype=np.int32)
+        vp = np.asarray(viewpoint_xy, dtype=np_dtype)[None]
+        q_ref = (
+            q_lx[None].astype(np_dtype),
+            q_ly[None].astype(np_dtype),
+            np.asarray([n_q], dtype=np.int32),
+        )
+        prog = self._program(
+            P, B, bool(penalty), bool(do_fine),
+            self.config.coarse_search_angle_offset, S, q_from_library=False,
+        )
+        outs = prog(self.library.fields, idx, mask, pose, q_ref, center, vp,
+                    sub)
+        coarse, fine = np.asarray(outs[0][0]), np.asarray(outs[1][0])
+        return self._assemble(coarse, fine, do_fine, outs)
+
     def match_scan_sets(self, query_scans, base_scans, penalty=True, do_fine=True):
         """Rigidly match a set of query scans against base scans — the
         reference's submap-alignment path
@@ -579,16 +620,14 @@ class CorrelativeScanMatcher:
 
         P = max(self._ensure_point_cap(base_scans), _next_bucket(len(qx)))
         self._point_cap = P
-        np_dtype = np.dtype(self.dtype)
-        q_lx = np.full(P, _FAR, dtype=np_dtype)
-        q_ly = np.full(P, _FAR, dtype=np_dtype)
+        q_lx = np.full(P, _FAR)
+        q_ly = np.full(P, _FAR)
         q_lx[: len(qx)] = qx
         q_ly[: len(qy)] = qy
 
-        result = self._run_single(
-            base_scans, q_lx, q_ly, np.int32(len(qx)),
-            np.array([ox_real, oy_real, 0.0], dtype=np_dtype),
-            np.array([viewpoint.x, viewpoint.y], dtype=np_dtype),
+        result = self._match_explicit_query(
+            base_scans, q_lx, q_ly, len(qx),
+            (ox_real, oy_real, 0.0), (viewpoint.x, viewpoint.y),
             penalty, do_fine, P,
         )
         diff = result.best_pose - oxy
