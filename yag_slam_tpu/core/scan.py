@@ -139,8 +139,9 @@ class LocalizedRangeScan:
 
     @corrected_pose.setter
     def corrected_pose(self, val: Transform):
+        # the points cache holds only pose-independent (local-frame) views,
+        # so pose updates never invalidate it
         self._corrected_pose = val
-        self._points_cache.clear()
 
     # -- projection --------------------------------------------------------
     def points(self, odom=False):
@@ -180,13 +181,20 @@ class LocalizedRangeScan:
     def copy(self):
         """Reference semantics: the copy's odom pose is collapsed onto the
         corrected pose (/root/reference/yag_slam/models.py:104-107 — used to
-        build the temp scan during loop closure)."""
+        build the temp scan during loop closure).
+
+        The copy *shares* the (pose-independent) points cache, so device
+        matcher views — including the copy's device-library slot — alias
+        the original's instead of being recomputed and re-uploaded.
+        """
         p = self.corrected_pose
-        return LocalizedRangeScan(
+        out = LocalizedRangeScan(
             self.ranges.copy(), self.min_angle, self.max_angle,
             self.angle_increment, self.min_range, self.max_range,
             self.range_threshold, p.x, p.y, p.euler[-1],
         )
+        out._points_cache = self._points_cache
+        return out
 
     # -- serde -------------------------------------------------------------
     @classmethod

@@ -117,8 +117,11 @@ class DeviceScanLibrary:
         self.fields = None
         self.P = 0
         self.K_cap = 0
+        # slots are keyed by the identity of the scan's (shared) points
+        # cache, so LocalizedRangeScan.copy() — e.g. loop-closure temp
+        # scans — aliases the original's slot instead of re-uploading
         self._slots = {}
-        self._scans = []  # strong refs keep id() keys unique
+        self._scans = []  # strong refs keep identity keys unique
 
     def _field_zeros(self, K, P):
         return dict(
@@ -135,7 +138,7 @@ class DeviceScanLibrary:
         width (rare — P only grows on bigger sensors)."""
         self.P = P
         self.fields = self._field_zeros(self.K_cap, P)
-        for scan, slot in [(s, self._slots[id(s)]) for s in self._scans]:
+        for scan, slot in [(s, self._slots[id(s._points_cache)]) for s in self._scans]:
             self._upload(scan, slot)
 
     def _upload(self, scan, slot):
@@ -163,7 +166,7 @@ class DeviceScanLibrary:
 
         out = []
         for s in scans:
-            slot = self._slots.get(id(s))
+            slot = self._slots.get(id(s._points_cache))
             if slot is None:
                 slot = len(self._scans)
                 if slot >= self.K_cap:
@@ -172,7 +175,7 @@ class DeviceScanLibrary:
                         self.fields, self._field_zeros(new_cap, self.P)
                     )
                     self.K_cap = new_cap
-                self._slots[id(s)] = slot
+                self._slots[id(s._points_cache)] = slot
                 self._scans.append(s)
                 self._upload(s, slot)
             out.append(slot)

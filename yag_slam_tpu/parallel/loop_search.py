@@ -19,13 +19,26 @@ from jax import shard_map
 
 class ShardedLoopMatcher:
     """Wraps a CorrelativeScanMatcher to run `match_many` sharded over a
-    mesh axis."""
+    mesh axis.
+
+    Drop-in as GraphSlam's `loop_matcher`: single-chain coarse matches and
+    serialization delegate to the wrapped matcher, so
+    ``GraphSlam(seq, ShardedLoopMatcher(loop, mesh))`` fans loop-closure
+    candidates across the mesh with no orchestrator changes.
+    """
 
     def __init__(self, matcher, mesh, axis="dp"):
         self.matcher = matcher
         self.mesh = mesh
         self.axis = axis
         self._programs = {}
+
+    @property
+    def config(self):
+        return self.matcher.config
+
+    def match_scan(self, query, base_scans, penalty=True, do_fine=True):
+        return self.matcher.match_scan(query, base_scans, penalty, do_fine)
 
     def _program(self, Pcap, B, penalty, do_fine, S):
         key = (Pcap, B, penalty, do_fine, S)

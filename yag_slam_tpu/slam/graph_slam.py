@@ -319,6 +319,12 @@ class GraphSlam:
         else:
             coarse_results = []
 
+        # Gate on coarse response, then fine-match the surviving chains in
+        # one batched dispatch too.  First-accept semantics are unchanged:
+        # results are walked in chain order and only the first passing
+        # closure is linked (the reference computes the fine match lazily
+        # per chain, /root/reference/yag_slam/graph_slam.py:233-254).
+        survivors = []
         for chain, res_coarse in zip(chains, coarse_results):
             self.stats["loop_chains_tried"] += 1
             if res_coarse.response < self.min_response_coarse:
@@ -334,9 +340,20 @@ class GraphSlam:
 
             tmpscan = scan.copy()
             tmpscan.corrected_pose = res_coarse.best_pose
+            survivors.append((chain, res_coarse, tmpscan))
 
-            res = self.seq_matcher.match_scan(tmpscan, chain, False, True)
+        if len(survivors) > 1:
+            fine_results = self.seq_matcher.match_many(
+                [(tmp, chain) for chain, _, tmp in survivors],
+                penalty=False, do_fine=True,
+            )
+        elif survivors:
+            chain, _, tmp = survivors[0]
+            fine_results = [self.seq_matcher.match_scan(tmp, chain, False, True)]
+        else:
+            fine_results = []
 
+        for (chain, res_coarse, tmpscan), res in zip(survivors, fine_results):
             if res.response < self.min_response_fine:
                 if self.verbose:
                     print(f"Loop closure fine response too low: {res.response}")
