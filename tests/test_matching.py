@@ -218,3 +218,25 @@ def test_reference_smoke_scenario():
     assert np.isfinite(
         [res.best_pose.x, res.best_pose.y, res.best_pose.euler[-1]]
     ).all()
+
+
+def test_patch_scoring_path_matches_gather_path():
+    """The TPU window-gather scorer must agree with the element-gather
+    scorer (same matcher, use_patch on vs off)."""
+    base = [make_room_scan(0.1 * i, 0.02 * i, 0.01 * i, seed=i) for i in range(4)]
+    query = make_room_scan(0.42, -0.13, 0.12, seed=9)
+    query.corrected_pose = query.corrected_pose  # no-op; poses already set
+
+    m_ref = CorrelativeScanMatcher(TEST_CFG, use_patch=False)
+    m_patch = CorrelativeScanMatcher(TEST_CFG, use_patch=True)
+    r_ref = m_ref.match_scan(query, base, True, True)
+    r_patch = m_patch.match_scan(query, base, True, True)
+
+    assert r_patch.response == pytest.approx(r_ref.response, abs=1e-9)
+    assert r_patch.best_pose.x == pytest.approx(r_ref.best_pose.x, abs=1e-9)
+    assert r_patch.best_pose.y == pytest.approx(r_ref.best_pose.y, abs=1e-9)
+    assert r_patch.best_pose.euler[-1] == pytest.approx(
+        r_ref.best_pose.euler[-1], abs=1e-9
+    )
+    np.testing.assert_allclose(r_patch.covariance, r_ref.covariance,
+                               rtol=1e-7, atol=1e-12)

@@ -430,6 +430,134 @@ def score_lattice_batched(
     return out, xvals, yvals, tvals
 
 
+def _lattice_penalty(xvals, yvals, tvals, ct, ox, oy, *, grid_size, grid_res,
+                     dist_var_penalty, ang_var_penalty):
+    """Batched distance/angle penalty factor (N, NX, NY, NT) — the
+    reference's unclamped penalty (/root/reference/yag_slam/helpers.py:
+    191-212; clamps commented out there, so values can go negative)."""
+    G = grid_size
+    sx = ox + G * grid_res / 2.0
+    sy = oy + G * grid_res / 2.0
+    sqd = (xvals[:, :, None] - sx[:, None, None]) ** 2 + (
+        yvals[:, None, :] - sy[:, None, None]
+    ) ** 2
+    dist_pen = 1.0 - 0.2 * sqd / (dist_var_penalty * grid_res)
+    sqa = (tvals - ct[:, None]) ** 2
+    ang_pen = 1.0 - 0.2 * sqa / (ang_var_penalty * grid_res)
+    return dist_pen[:, :, :, None] * ang_pen[:, None, None, :]
+
+
+def score_lattice_patch_batched(
+    qgrid2d,     # (N, S, S) quantized subgrids
+    pts_x,       # (N, P)
+    pts_y,
+    n_pts,       # (N,)
+    cx, cy, ct,  # (N,)
+    ox, oy,      # (N,)
+    sox, soy,    # (N,)
+    *,
+    spec: LatticeSpec,
+    xy_size, xy_res, ang_size, ang_res,
+    grid_size: int,
+    grid_res: float,
+    sub_size: int,
+    penalize: bool,
+    dtype,
+    dist_var_penalty: float = 0.5,
+    ang_var_penalty: float = 1.0,
+):
+    """Lattice scoring via per-point window gathers (the TPU fast path).
+
+    Same response formula as :func:`score_lattice_batched`, restructured
+    around TPU memory behavior: element gathers serialize on the TPU
+    vector unit (~4-20 ns/element), so instead of one (N,NX,NY,NT,P)
+    element gather this gathers ONE contiguous (WINY, WINX) window per
+    (job, theta, point) — the grid cells a point can touch across the
+    whole xy lattice — then reduces over points and subsamples the
+    lattice stride.  Measured ~4.7x faster at the reference's default
+    coarse lattice (25x25x10, P=512, N=16).
+
+    Exactness note: the gather path rounds the world coordinate
+    independently per lattice column; this path rounds once per point at
+    the lattice origin and walks cells by the exact integer stride
+    (xy_res/grid_res, required integral).  The two agree except when
+    float rounding of `(x + i*xy_res)/res` crosses a half-cell boundary
+    differently than `round(x/res) + i*stride` — an ulp-scale event with
+    no counterpart bias; the reference itself recomputes in float64
+    where the same boundary sits elsewhere.  Out-of-grid reads contribute
+    exactly 0 via zero padding, matching the reference's bounds masks
+    (cells outside the subgrid are provably zero; cells outside the full
+    grid are skipped by the reference, i.e. also 0).
+    """
+    NX, NY, NT = spec
+    N, S, _ = qgrid2d.shape
+    G = grid_size
+    stride = int(round(xy_res / grid_res))
+    assert abs(stride * grid_res - xy_res) < 1e-12 * max(1.0, abs(xy_res)), (
+        xy_res, grid_res)
+    WINX = stride * (NX - 1) + 1
+    WINY = stride * (NY - 1) + 1
+    PADT = max(WINY, WINX)          # top/left margin (negative base cells)
+    PADB = 2 * max(WINY, WINX)      # bottom/right zeros (overflow + clamp)
+
+    ar_x = jnp.arange(NX, dtype=dtype)
+    xvals = (cx - xy_size)[:, None] + ar_x[None, :] * xy_res
+    yvals = (cy - xy_size)[:, None] + jnp.arange(NY, dtype=dtype)[None] * xy_res
+    tvals = (ct - ang_size)[:, None] + jnp.arange(NT, dtype=dtype)[None] * ang_res
+
+    c, s = jnp.cos(tvals), jnp.sin(tvals)                       # (N, NT)
+    rx = c[:, :, None] * pts_x[:, None, :] - s[:, :, None] * pts_y[:, None, :]
+    ry = s[:, :, None] * pts_x[:, None, :] + c[:, :, None] * pts_y[:, None, :]
+
+    gx0 = world_to_grid_idx(
+        xvals[:, 0, None, None] + rx, ox[:, None, None], grid_res
+    )  # (N, NT, P) — cell at lattice origin; column i reads gx0 + stride*i
+    gy0 = world_to_grid_idx(
+        yvals[:, 0, None, None] + ry, oy[:, None, None], grid_res
+    )
+    sgx0 = gx0 - sox[:, None, None]
+    sgy0 = gy0 - soy[:, None, None]
+
+    rows = S + PADT + PADB
+    gpad = jnp.zeros((N, rows, rows), dtype=qgrid2d.dtype)
+    gpad = jax.lax.dynamic_update_slice(gpad, qgrid2d, (0, PADT, PADT))
+
+    # Window starts; fully-out-of-range points are pointed at the zero
+    # region (mode="clip" then keeps them there).  Clip first so padded
+    # _FAR lanes (whose cell index saturates int32) can't overflow the
+    # `+ PADT` arithmetic.
+    sgy0 = jnp.clip(sgy0, -PADT - 1, S + 1)
+    sgx0 = jnp.clip(sgx0, -PADT - 1, S + 1)
+    ry_start = jnp.where(sgy0 < -PADT, rows, sgy0 + PADT)
+    rx_start = jnp.where(sgx0 < -PADT, rows, sgx0 + PADT)
+    nn = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None, None], ry_start.shape
+    )
+    starts = jnp.stack(
+        [nn, ry_start.astype(jnp.int32), rx_start.astype(jnp.int32)], axis=-1
+    ).reshape(-1, 3)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(0,), start_index_map=(0, 1, 2)
+    )
+    patches = jax.lax.gather(
+        gpad, starts, dn, slice_sizes=(1, WINY, WINX), mode="clip"
+    ).reshape(N, NT, -1, WINY, WINX)
+    ps = jnp.sum(patches, axis=2)                 # (N, NT, WINY, WINX)
+    raw = ps[:, :, ::stride, ::stride]            # (N, NT, NY, NX)
+    raw = raw.transpose(0, 3, 2, 1)               # (N, NX, NY, NT)
+
+    if penalize:
+        penalty = _lattice_penalty(
+            xvals, yvals, tvals, ct, ox, oy, grid_size=G, grid_res=grid_res,
+            dist_var_penalty=dist_var_penalty, ang_var_penalty=ang_var_penalty,
+        )
+    else:
+        penalty = jnp.ones((), dtype=dtype)
+
+    out = raw.astype(dtype) / n_pts[:, None, None, None] * penalty / 100.0
+    return out, xvals, yvals, tvals
+
+
 def reduce_best_pose(out, xvals, yvals, tvals):
     """Argmax + tie-averaging + windowed covariance, semantics of
     /root/reference/yag_slam/helpers.py:214-295.

@@ -198,6 +198,7 @@ class CorrelativeScanMatcher:
         return_meta: bool = False,
         sanitize_covariance: bool = True,
         use_pallas: bool | None = None,
+        use_patch: bool | None = None,
     ):
         self.config = config if config is not None else make_config(config_dict, loop)
         cfg = self.config
@@ -218,6 +219,12 @@ class CorrelativeScanMatcher:
         if use_pallas is None:
             use_pallas = pallas_available() and np.dtype(dtype) == np.float32
         self.use_pallas = use_pallas
+        # Window-gather lattice scoring: ~4.7x over element gathers on TPU
+        # (element gathers serialize on the vector unit).  CPU float64 runs
+        # keep the element-gather path, which the golden tests pin.
+        if use_patch is None:
+            use_patch = pallas_available()
+        self.use_patch = use_patch
         self._programs = {}
         self.library = DeviceScanLibrary(dtype)
 
@@ -310,6 +317,7 @@ class CorrelativeScanMatcher:
         h = self._half
         Cpad = _round_up(S + 2 * h, 128)
         use_pallas = self.use_pallas
+        use_patch = self.use_patch
         return_grid = self.return_meta
 
         coarse_spec = C.LatticeSpec.from_search(
@@ -370,14 +378,6 @@ class CorrelativeScanMatcher:
 
                 cgrid = smear_grid_xla(occ, h=h, S=S, taps=taps)
             N = cgrid.shape[0]
-            qflat = jnp.concatenate(
-                [
-                    C.quantize_grid(cgrid).reshape(N, S * S),
-                    jnp.zeros((N, 1), dtype=dtype),
-                ],
-                axis=1,
-            )
-
             lane = jnp.arange(P)
             qx = jnp.where(lane[None, :] < n_q[:, None], qlx, _FAR)
             qy = jnp.where(lane[None, :] < n_q[:, None], qly, _FAR)
@@ -385,9 +385,21 @@ class CorrelativeScanMatcher:
 
             common = dict(grid_size=G, grid_res=res, penalize=penalty,
                           dtype=dtype, sub_size=S)
+            if use_patch:
+                q2d = C.quantize_grid(cgrid)
+                score = partial(C.score_lattice_patch_batched, q2d)
+            else:
+                qflat = jnp.concatenate(
+                    [
+                        C.quantize_grid(cgrid).reshape(N, S * S),
+                        jnp.zeros((N, 1), dtype=dtype),
+                    ],
+                    axis=1,
+                )
+                score = partial(C.score_lattice_batched, qflat)
 
-            out_c, xv, yv, tv = C.score_lattice_batched(
-                qflat, qx, qy, n_pts, cx, cy, ct, ox, oy, sox, soy,
+            out_c, xv, yv, tv = score(
+                qx, qy, n_pts, cx, cy, ct, ox, oy, sox, soy,
                 spec=coarse_spec, xy_size=cfg.search_size * 0.5,
                 xy_res=res * 2, ang_size=coarse_offset * 0.5,
                 ang_res=cfg.coarse_angle_resolution, **common,
@@ -396,8 +408,8 @@ class CorrelativeScanMatcher:
                 jax.vmap(C.reduce_best_pose)(out_c, xv, yv, tv), axis=1
             )
             if do_fine:
-                out_f, xv, yv, tv = C.score_lattice_batched(
-                    qflat, qx, qy, n_pts, coarse[:, 1], coarse[:, 2],
+                out_f, xv, yv, tv = score(
+                    qx, qy, n_pts, coarse[:, 1], coarse[:, 2],
                     coarse[:, 3], ox, oy, sox, soy,
                     spec=fine_spec, xy_size=res * 2, xy_res=res,
                     ang_size=_FINE_ANGLE_SIZE,
