@@ -133,16 +133,12 @@ def build_normal_equations(poses, eidx, means, infos, emask, free_mask, *, n_cap
 
 def _lm_candidate(poses, eidx, means, infos, emask, free_mask, lam, *, n_cap):
     """One damped step: solve (H + λ·diag(H))Δ = -b, return candidate poses
-    and their cost."""
+    and their cost.  (Standalone variant; the LM loop below reuses H, b
+    across rejected steps instead of calling this.)"""
     H, b = build_normal_equations(
         poses, eidx, means, infos, emask, free_mask, n_cap=n_cap
     )
-    d = jnp.diag(H)
-    Haug = H + jnp.diag(lam * d)
-    delta = jnp.linalg.solve(Haug, -b).reshape(n_cap, 3)
-    delta = delta * free_mask[:, None].astype(poses.dtype)
-    cand = poses + delta
-    cand = cand.at[:, 2].set(_wrap(cand[:, 2]))
+    cand = _damped_solve(H, b, poses, free_mask, lam)
     cost = graph_cost(cand, eidx, means, infos, emask, n_cap=n_cap)
     return cand, cost
 
@@ -150,8 +146,24 @@ def _lm_candidate(poses, eidx, means, infos, emask, free_mask, lam, *, n_cap):
 lm_candidate = jax.jit(_lm_candidate, static_argnames=("n_cap",))
 
 
+def _damped_solve(H, b, poses, free_mask, lam):
+    """Solve (H + λ·diag(H))Δ = -b by Cholesky and apply the update.
+
+    A non-PD damped system makes `cholesky` return NaNs, which poisons the
+    candidate cost → the LM loop rejects the step and raises λ, so no
+    explicit PD check is needed."""
+    n_cap = poses.shape[0]
+    d = jnp.diag(H)
+    Haug = H + jnp.diag(lam * d)
+    L = jnp.linalg.cholesky(Haug)
+    delta = jax.scipy.linalg.cho_solve((L, True), -b).reshape(n_cap, 3)
+    delta = delta * free_mask[:, None].astype(poses.dtype)
+    cand = poses + delta
+    return cand.at[:, 2].set(_wrap(cand[:, 2]))
+
+
 @partial(jax.jit, static_argnames=("n_cap", "max_iters"))
-def lm_run(poses, eidx, means, infos, emask, free_mask, lam0, tol, *,
+def lm_run(poses, eidx, means, infos, emask, free_mask, lam0, ctol, *,
            n_cap, max_iters):
     """The full Levenberg–Marquardt loop as ONE device program.
 
@@ -161,30 +173,50 @@ def lm_run(poses, eidx, means, infos, emask, free_mask, lam0, tol, *,
     TPU), so the accept/reject damping logic runs in a lax.while_loop on
     device and the host gets back only the final poses/cost/iteration
     count.
+
+    Convergence: stop after an accepted step whose cost decrease is below
+    `ctol` relative (+1e-15 absolute floor so exactly-consistent graphs
+    terminate) — the same shape of test the C++ SPA uses rather than
+    burning the full iteration budget.  Normal equations are assembled
+    only when a step is accepted; rejected steps only re-factorize with a
+    larger λ.
     """
     cost0 = graph_cost(poses, eidx, means, infos, emask, n_cap=n_cap)
+    H0, b0 = build_normal_equations(
+        poses, eidx, means, infos, emask, free_mask, n_cap=n_cap
+    )
+
+    def rebuild(p):
+        return build_normal_equations(
+            p, eidx, means, infos, emask, free_mask, n_cap=n_cap
+        )
 
     def cond(carry):
-        _, _, _, it, done = carry
+        _, _, _, _, _, it, done = carry
         return jnp.logical_and(jnp.logical_not(done), it < max_iters)
 
     def body(carry):
-        p, cost, lam, it, _ = carry
-        cand, new_cost = _lm_candidate(
-            p, eidx, means, infos, emask, free_mask, lam, n_cap=n_cap
-        )
+        p, cost, H, b, lam, it, _ = carry
+        cand = _damped_solve(H, b, p, free_mask, lam)
+        new_cost = graph_cost(cand, eidx, means, infos, emask, n_cap=n_cap)
         accept = jnp.isfinite(new_cost) & (new_cost <= cost)
         decrease = cost - new_cost
-        p = jnp.where(accept, cand, p)
-        new_lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1.0e-12), lam * 4.0)
-        done = (accept & (decrease < tol * jnp.maximum(new_cost, 1.0))) | (
+        new_lam = jnp.where(
+            accept, jnp.maximum(lam * (1.0 / 3.0), 1.0e-12), lam * 4.0
+        )
+        done = (accept & (decrease <= ctol * new_cost + 1.0e-15)) | (
             jnp.logical_not(accept) & (new_lam > 1.0e8)
         )
+        p = jnp.where(accept, cand, p)
         cost = jnp.where(accept, new_cost, cost)
-        return (p, cost, new_lam, it + 1, done)
+        H, b = jax.lax.cond(
+            accept & jnp.logical_not(done), rebuild, lambda _: (H, b), p
+        )
+        return (p, cost, H, b, new_lam, it + 1, done)
 
-    p, cost, _, iters, _ = jax.lax.while_loop(
-        cond, body, (poses, cost0, lam0, jnp.int32(0), jnp.bool_(False))
+    p, cost, _, _, _, iters, _ = jax.lax.while_loop(
+        cond, body,
+        (poses, cost0, H0, b0, lam0, jnp.int32(0), jnp.bool_(False)),
     )
     return p, cost, iters
 
@@ -233,8 +265,8 @@ def _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype):
     return hvp
 
 
-def _lm_candidate_cg(poses, eidx, means, infos, emask, free_mask, lam, *,
-                     n_cap, cg_iters):
+def _lm_candidate_cg(poses, eidx, means, infos, emask, free_mask, lam,
+                     cg_rtol, *, n_cap, cg_iters):
     """Damped step via block-Jacobi-preconditioned conjugate gradients —
     the matrix-free path for graphs where a dense 3Nx3N factorization no
     longer makes sense."""
@@ -276,6 +308,7 @@ def _lm_candidate_cg(poses, eidx, means, infos, emask, free_mask, lam, *,
     z = precond(res)
     p = z
     rz = dot(res, z)
+    rr0 = dot(res, res)
 
     def body(carry):
         x, res, p, rz, it = carry
@@ -291,7 +324,11 @@ def _lm_candidate_cg(poses, eidx, means, infos, emask, free_mask, lam, *,
 
     def cond(carry):
         _, res, _, _, it = carry
-        return jnp.logical_and(it < cg_iters, dot(res, res) > 1e-18)
+        # relative residual stop (the C++ SPA's initTol plays this role)
+        return jnp.logical_and(
+            it < cg_iters,
+            dot(res, res) > jnp.maximum(cg_rtol * cg_rtol * rr0, 1e-30),
+        )
 
     x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, res, p, rz, 0))
 
@@ -303,9 +340,10 @@ def _lm_candidate_cg(poses, eidx, means, infos, emask, free_mask, lam, *,
 
 
 @partial(jax.jit, static_argnames=("n_cap", "max_iters", "cg_iters"))
-def lm_run_cg(poses, eidx, means, infos, emask, free_mask, lam0, tol, *,
-              n_cap, max_iters, cg_iters):
-    """LM loop with matrix-free PCG steps, fused into one device program."""
+def lm_run_cg(poses, eidx, means, infos, emask, free_mask, lam0, ctol,
+              cg_rtol, *, n_cap, max_iters, cg_iters):
+    """LM loop with matrix-free PCG steps, fused into one device program.
+    Same accept/convergence logic as `lm_run`."""
     cost0 = graph_cost(poses, eidx, means, infos, emask, n_cap=n_cap)
 
     def cond(carry):
@@ -315,14 +353,16 @@ def lm_run_cg(poses, eidx, means, infos, emask, free_mask, lam0, tol, *,
     def body(carry):
         p, cost, lam, it, _ = carry
         cand, new_cost = _lm_candidate_cg(
-            p, eidx, means, infos, emask, free_mask, lam,
+            p, eidx, means, infos, emask, free_mask, lam, cg_rtol,
             n_cap=n_cap, cg_iters=cg_iters,
         )
         accept = jnp.isfinite(new_cost) & (new_cost <= cost)
         decrease = cost - new_cost
         p = jnp.where(accept, cand, p)
-        new_lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1.0e-12), lam * 4.0)
-        done = (accept & (decrease < tol * jnp.maximum(new_cost, 1.0))) | (
+        new_lam = jnp.where(
+            accept, jnp.maximum(lam * (1.0 / 3.0), 1.0e-12), lam * 4.0
+        )
+        done = (accept & (decrease <= ctol * new_cost + 1.0e-15)) | (
             jnp.logical_not(accept) & (new_lam > 1.0e8)
         )
         cost = jnp.where(accept, new_cost, cost)
@@ -341,12 +381,159 @@ def _cap(n, minimum=16):
     return c
 
 
+# ---------------------------------------------------------------------------
+# Host solver: sparse f64 LM for small/medium graphs.
+#
+# The normal equations of a pose chain are ill-conditioned (cond ~ N^2), so
+# f32 Newton steps degrade LM to slow linear convergence, while f64 dense
+# factorizations on TPU run through int-emulated arithmetic (~100 ms per
+# 1536^2 Cholesky here).  At a few hundred to a few thousand nodes the solve
+# is latency-bound, not FLOP-bound: the TPU adds nothing, and on a tunneled
+# device every dispatch costs tens of ms.  So the default path mirrors what
+# the reference gets from CSparse inside sba_cpp
+# (/root/reference/yag_slam/graph_slam.py:265 — `useCSparse=True`): exact
+# sparse f64 Cholesky/LU on the host, vectorized numpy edge assembly.  The
+# device paths (dense f32/f64, matrix-free PCG, distributed Schur in
+# parallel/dist_spa.py) remain for pod-scale graphs where FLOPs dominate.
+# ---------------------------------------------------------------------------
+
+def _np_wrap(t):
+    return t - 2.0 * np.pi * np.floor((t + np.pi) / (2.0 * np.pi))
+
+
+def _np_residuals(poses, eidx, means):
+    pi = poses[eidx[:, 0]]
+    pj = poses[eidx[:, 1]]
+    c, s = np.cos(pi[:, 2]), np.sin(pi[:, 2])
+    dx = pj[:, 0] - pi[:, 0]
+    dy = pj[:, 1] - pi[:, 1]
+    lx = c * dx + s * dy
+    ly = -s * dx + c * dy
+    r = np.stack(
+        [lx - means[:, 0], ly - means[:, 1],
+         _np_wrap(pj[:, 2] - pi[:, 2] - means[:, 2])], axis=-1
+    )
+    return r, lx, ly, c, s
+
+
+def _np_cost(poses, eidx, means, infos):
+    r, *_ = _np_residuals(poses, eidx, means)
+    return float(np.einsum("ei,eij,ej->", r, infos, r))
+
+
+def _host_lm(poses, eidx, means, infos, max_iters, lam0, conv_tol):
+    """LM with exact sparse f64 steps on host.  poses (N,3) f64 (node 0 is
+    the gauge), eidx (E,2) int, means (E,3), infos (E,3,3).  Returns
+    (poses, cost, iters)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    n = poses.shape[0]
+    nf = n - 1  # free nodes (gauge excluded)
+    if nf < 1:
+        return poses, 0.0, 0
+
+    def assemble(p):
+        r, lx, ly, c, s = _np_residuals(p, eidx, means)
+        E = eidx.shape[0]
+        z = np.zeros(E)
+        o = np.ones(E)
+        Ji = np.empty((E, 3, 3))
+        Ji[:, 0] = np.stack([-c, -s, ly], axis=-1)
+        Ji[:, 1] = np.stack([s, -c, -lx], axis=-1)
+        Ji[:, 2] = np.stack([z, z, -o], axis=-1)
+        Jj = np.empty((E, 3, 3))
+        Jj[:, 0] = np.stack([c, s, z], axis=-1)
+        Jj[:, 1] = np.stack([-s, c, z], axis=-1)
+        Jj[:, 2] = np.stack([z, z, o], axis=-1)
+        JiW = np.einsum("eki,ekl->eil", Ji, infos)
+        JjW = np.einsum("eki,ekl->eil", Jj, infos)
+        blocks = np.concatenate(
+            [
+                np.einsum("eil,elj->eij", JiW, Ji),
+                np.einsum("eil,elj->eij", JiW, Jj),
+                np.einsum("eil,elj->eij", JjW, Ji),
+                np.einsum("eil,elj->eij", JjW, Jj),
+            ]
+        )
+        bi = np.einsum("eil,el->ei", JiW, r)
+        bj = np.einsum("eil,el->ei", JjW, r)
+
+        rows_n = np.concatenate(
+            [eidx[:, 0], eidx[:, 0], eidx[:, 1], eidx[:, 1]]
+        )
+        cols_n = np.concatenate(
+            [eidx[:, 0], eidx[:, 1], eidx[:, 0], eidx[:, 1]]
+        )
+        # drop gauge rows/cols; remap node k -> free index k-1
+        keep = (rows_n > 0) & (cols_n > 0)
+        blocks = blocks[keep]
+        rows_n = rows_n[keep] - 1
+        cols_n = cols_n[keep] - 1
+        # expand 3x3 blocks to scalar COO
+        off = np.arange(3)
+        rr = np.broadcast_to(
+            3 * rows_n[:, None, None] + off[None, :, None], blocks.shape
+        ).ravel()
+        cc = np.broadcast_to(
+            3 * cols_n[:, None, None] + off[None, None, :], blocks.shape
+        ).ravel()
+        H = sp.coo_matrix(
+            (blocks.ravel(), (rr, cc)), shape=(3 * nf, 3 * nf)
+        ).tocsc()
+        b = np.zeros((n, 3))
+        np.add.at(b, eidx[:, 0], bi)
+        np.add.at(b, eidx[:, 1], bj)
+        return H, b[1:].ravel()
+
+    p = poses.copy()
+    cost = _np_cost(p, eidx, means, infos)
+    lam = lam0
+    it = 0
+    H, b = assemble(p)
+    while it < max_iters:
+        it += 1
+        d = np.maximum(H.diagonal(), 1e-12)
+        try:
+            lu = spla.splu((H + lam * sp.diags(d)).tocsc())
+            delta = lu.solve(-b)
+        except RuntimeError:
+            delta = None
+        accept = False
+        if delta is not None and np.all(np.isfinite(delta)):
+            cand = p.copy()
+            cand[1:] += delta.reshape(nf, 3)
+            cand[:, 2] = _np_wrap(cand[:, 2])
+            new_cost = _np_cost(cand, eidx, means, infos)
+            accept = np.isfinite(new_cost) and new_cost <= cost
+        if accept:
+            decrease = cost - new_cost
+            p, cost = cand, new_cost
+            lam = max(lam / 3.0, 1e-12)
+            if decrease <= conv_tol * new_cost + 1e-15:
+                break
+            H, b = assemble(p)
+        else:
+            lam *= 4.0
+            if lam > 1e8:
+                break
+    return p, cost, it
+
+
 class PoseGraphSolver:
     """Array-native LM solver over growing node/edge arrays.
 
-    `solver`: "dense" (device Cholesky/LU of the full 3Nx3N system),
-    "cg" (matrix-free block-Jacobi PCG — edge-list matvecs only), or
-    "auto" (dense up to `dense_node_limit` nodes, CG beyond).
+    `solver`:
+      - "host"  — exact sparse f64 LM on the host CPU (vectorized numpy
+        assembly + SuperLU).  The low-latency default: at online-SLAM graph
+        sizes the solve is latency-bound and f32 device steps are too
+        inexact for the chain-conditioned normal equations (see _host_lm).
+      - "dense" — device Cholesky of the full 3Nx3N system (f64 on device),
+        the whole LM loop as one XLA program.
+      - "cg"    — device matrix-free block-Jacobi PCG over the edge list;
+        the building block of the distributed Schur path
+        (parallel/dist_spa.py) for pod-scale graphs.
+      - "auto"  — "host".
     """
 
     DENSE_NODE_LIMIT = 1024
@@ -382,16 +569,30 @@ class PoseGraphSolver:
 
     # -- solve --------------------------------------------------------------
     def optimize(self, max_iters=100, init_lambda=1.0e-4, tol=1.0e-9,
-                 verbose=False, max_cg_iters=50):
+                 verbose=False, max_cg_iters=50, conv_tol=1.0e-4):
         n = len(self.poses)
         e = len(self.edge_idx)
         if n < 2 or e == 0:
             return 0.0
+
+        if self.solver in ("auto", "host"):
+            p = np.asarray(self.poses, dtype=np.float64)
+            out, cost, iters = _host_lm(
+                p,
+                np.asarray(self.edge_idx, dtype=np.int64),
+                np.asarray(self.edge_means, dtype=np.float64),
+                np.stack(self.edge_infos),
+                max_iters, init_lambda, conv_tol,
+            )
+            if verbose:
+                print(f"[spa] converged in {iters} iters, chi2 {cost:.6g}")
+            for i in range(n):
+                self.poses[i] = [float(out[i, 0]), float(out[i, 1]),
+                                 float(out[i, 2])]
+            return cost
+
         n_cap = _cap(n)
         e_cap = _cap(e)
-        dtype = self.dtype or (
-            jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        )
 
         poses = np.zeros((n_cap, 3))
         poses[:n] = np.asarray(self.poses)
@@ -406,33 +607,42 @@ class PoseGraphSolver:
         free = np.zeros(n_cap, dtype=bool)
         free[1:n] = True  # node 0 is the gauge
 
-        poses_j = jnp.asarray(poses, dtype=dtype)
-        args = (
-            jnp.asarray(eidx),
-            jnp.asarray(means, dtype=dtype),
-            jnp.asarray(infos, dtype=dtype),
-            jnp.asarray(emask),
-        )
-        free_j = jnp.asarray(free)
-
         use_cg = self.solver == "cg" or (
             self.solver == "auto" and n > self.dense_node_limit
         )
-        if use_cg:
-            final_poses, cost, iters = lm_run_cg(
-                poses_j, *args, free_j,
-                jnp.asarray(init_lambda, dtype=dtype),
-                jnp.asarray(tol, dtype=dtype),
-                n_cap=n_cap, max_iters=max_iters, cg_iters=max_cg_iters,
+        # The normal equations of a long chain are ill-conditioned
+        # (cond ~ N^2); in f32 the Newton steps are inexact enough to
+        # degrade LM to slow linear convergence.  The system is small
+        # (3N x 3N), so the whole solve runs in f64 — on TPU the emulated
+        # f64 Cholesky of a 1536^2 matrix is ~3 ms, the same latency class
+        # as f32, while the scan-matching hot path elsewhere stays f32.
+        # jax.enable_x64 is scoped: the f64 trace is cached across calls.
+        with jax.enable_x64(True):
+            dtype = self.dtype or jnp.float64
+            poses_j = jnp.asarray(poses, dtype=dtype)
+            args = (
+                jnp.asarray(eidx),
+                jnp.asarray(means, dtype=dtype),
+                jnp.asarray(infos, dtype=dtype),
+                jnp.asarray(emask),
             )
-        else:
-            final_poses, cost, iters = lm_run(
-                poses_j, *args, free_j,
-                jnp.asarray(init_lambda, dtype=dtype),
-                jnp.asarray(tol, dtype=dtype),
-                n_cap=n_cap, max_iters=max_iters,
-            )
-        cost = float(cost)
+            free_j = jnp.asarray(free)
+            if use_cg:
+                final_poses, cost, iters = lm_run_cg(
+                    poses_j, *args, free_j,
+                    jnp.asarray(init_lambda, dtype=dtype),
+                    jnp.asarray(conv_tol, dtype=dtype),
+                    jnp.asarray(tol, dtype=dtype),
+                    n_cap=n_cap, max_iters=max_iters, cg_iters=max_cg_iters,
+                )
+            else:
+                final_poses, cost, iters = lm_run(
+                    poses_j, *args, free_j,
+                    jnp.asarray(init_lambda, dtype=dtype),
+                    jnp.asarray(conv_tol, dtype=dtype),
+                    n_cap=n_cap, max_iters=max_iters,
+                )
+            cost = float(cost)
         if verbose:
             print(f"[spa] converged in {int(iters)} iters, chi2 {cost:.6g}")
 
