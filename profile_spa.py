@@ -1,17 +1,21 @@
-"""SPA solver breakdown on TPU."""
+"""SPA solver crossover benchmark: host sparse-f64 vs device dense vs
+device matrix-free PCG, across graph sizes, on the current jax backend.
+
+Writes the table BASELINE.md cites and that PoseGraphSolver's "auto"
+policy (AUTO_HOST_NODE_LIMIT) is derived from.  Run on the real TPU:
+  python profile_spa.py
+"""
 import time
+
 import numpy as np
-import jax
-import jax.numpy as jnp
 
-from bench import bench_spa
 from yag_slam_tpu.core.transform import se2_compose, se2_relative
-from yag_slam_tpu.graphopt.spa import SPA2d, lm_run, lm_run_cg, build_normal_equations, graph_cost
+from yag_slam_tpu.graphopt.spa import SPA2d
 
 
-def build(n_nodes=500, solver="auto"):
+def build(n_nodes, solver):
     rng = np.random.default_rng(0)
-    side = n_nodes // 4
+    side = max(n_nodes // 4, 1)
     spa = SPA2d(solver=solver)
     true = [np.array([0.0, 0.0, 0.0])]
     for s in range(4):
@@ -29,17 +33,42 @@ def build(n_nodes=500, solver="auto"):
     info = np.diag([100.0, 100.0, 400.0]).tolist()
     for i, j, mean in means:
         spa.add_constraint(i, j, *mean, info)
-    spa.add_constraint(len(true) - 1, 0, *se2_relative(true[0], true[-1]), info)
+    spa.add_constraint(len(true) - 1, 0, *se2_relative(true[0], true[-1]),
+                       info)
     return spa
 
 
-for solver in ("dense", "cg"):
-    spa = build(solver=solver)
-    spa.compute(100, 1e-4, True, 1e-9, 50)  # warm compile
-    times = []
-    for _ in range(3):
-        spa2 = build(solver=solver)
-        t0 = time.time()
-        c = spa2.compute(100, 1e-4, True, 1e-9, 50, verbose=True)
-        times.append(time.time() - t0)
-    print(f"{solver}: best {min(times)*1e3:.1f} ms  cost {c:.4g}")
+def main():
+    import jax
+
+    print(f"backend: {jax.default_backend()}")
+    sizes = [100, 500, 1000, 2000, 4000]
+    solvers = ["host", "dense", "cg"]
+    print(f"{'nodes':>6} | " + " | ".join(f"{s:>10}" for s in solvers)
+          + "  (best-of-3 ms; cost must agree)")
+    rows = {}
+    for n in sizes:
+        times = {}
+        costs = {}
+        for solver in solvers:
+            if solver == "dense" and n > 2000:
+                times[solver] = float("nan")
+                continue
+            build(n, solver).compute(100, 1e-4, True, 1e-9, 200)  # compile
+            best = float("inf")
+            for _ in range(3):
+                spa = build(n, solver)
+                t0 = time.time()
+                c = spa.compute(100, 1e-4, True, 1e-9, 200)
+                best = min(best, time.time() - t0)
+            times[solver] = best * 1e3
+            costs[solver] = c
+        rows[n] = times
+        print(f"{n:>6} | " + " | ".join(
+            f"{times[s]:>10.1f}" for s in solvers)
+            + f"   chi2={costs.get('host', float('nan')):.4g}")
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,13 @@ setup(
             sources=["yag_slam_tpu/native/hostops.cpp"],
             extra_compile_args=["-O3", "-std=c++17"],
             optional=True,
-        )
+        ),
+        Extension(
+            "yag_slam_tpu.native._refbaseline",
+            sources=["yag_slam_tpu/native/refbaseline.cpp"],
+            extra_compile_args=["-O3", "-std=c++17", "-march=native"],
+            optional=True,
+        ),
     ],
     cmdclass={"build_ext": OptionalBuildExt},
 )

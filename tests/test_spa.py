@@ -173,3 +173,53 @@ def test_cg_solver_matches_dense():
     assert np.isclose(cd, cc, rtol=1e-4)
     for a, b in zip(dense.nodes, cg.nodes):
         assert np.allclose([a.x, a.y, a.yaw], [b.x, b.y, b.yaw], atol=1e-3)
+
+
+def test_host_lm_disconnected_free_node():
+    """A free node with no incident constraints must not break the host
+    sparse path (structurally singular H): it gets an identity row and a
+    zero update, like the device paths (ADVICE r1)."""
+    spa = SPA2d(solver="host")
+    spa.add_node(0.0, 0.0, 0.0, 0)
+    spa.add_node(1.0, 0.1, 0.0, 1)
+    spa.add_node(5.0, 5.0, 1.0, 2)  # disconnected
+    info = np.diag([100.0, 100.0, 100.0])
+    spa.add_constraint(0, 1, 1.05, 0.0, 0.0, info.tolist())
+    cost = spa.compute(50, 1.0e-4, True, 1.0e-9, 50)
+    assert np.isfinite(cost)
+    n = spa.nodes
+    # connected free node moved toward the constraint...
+    assert abs(n[1].x - 1.05) < 1e-6 and abs(n[1].y) < 1e-6
+    # ...disconnected node untouched
+    assert (n[2].x, n[2].y, n[2].yaw) == (5.0, 5.0, 1.0)
+
+
+def test_conv_tol_plumbed_through_compute():
+    """Tighter conv_tol must not stop earlier than a loose one (ADVICE r1:
+    SPA2d.compute previously had no way to tighten the LM stop)."""
+    rng = np.random.default_rng(3)
+
+    def build(spa):
+        poses = [np.zeros(3)]
+        info = np.diag([50.0, 50.0, 80.0])
+        for i in range(30):
+            mean = np.array([1.0, 0.0, 0.2]) + rng.normal(0, 0.05, 3)
+            poses.append(se2_compose(poses[-1], mean))
+        for i, p in enumerate(poses):
+            spa.add_node(p[0], p[1], p[2], i)
+        for i in range(30):
+            spa.add_constraint(
+                i, i + 1, *(relative(poses[i], poses[i + 1]) +
+                            rng.normal(0, 0.03, 3)), info.tolist())
+        spa.add_constraint(30, 0, *relative(poses[30], poses[0]),
+                           (np.diag([500.0, 500.0, 500.0])).tolist())
+
+    loose = SPA2d(solver="host")
+    tight = SPA2d(solver="host")
+    rng = np.random.default_rng(3)
+    build(loose)
+    rng = np.random.default_rng(3)
+    build(tight)
+    c_loose = loose.compute(100, 1.0e-4, True, 1.0e-9, 50, conv_tol=1e-1)
+    c_tight = tight.compute(100, 1.0e-4, True, 1.0e-9, 50, conv_tol=1e-10)
+    assert c_tight <= c_loose + 1e-12

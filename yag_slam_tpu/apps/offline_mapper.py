@@ -33,20 +33,28 @@ def run_carmen(args):
         map_resolution=args.map_resolution,
     )
     t0 = time.time()
-    integrated = 0
-    for cs in scans:
+    integrated_idx = []
+    for i, cs in enumerate(scans):
         ok, _, closed = mapper.add_scan(
             cs.ranges, cs.min_angle, cs.max_angle, cs.angle_increment,
             0.0, cs.max_range, (cs.odom_x, cs.odom_y, cs.odom_theta),
         )
-        integrated += bool(ok)
+        if ok:
+            integrated_idx.append(i)
     elapsed = time.time() - t0
+    integrated = len(integrated_idx)
     print(
         f"integrated {integrated}/{len(scans)} scans in {elapsed:.1f}s "
         f"({integrated / max(elapsed, 1e-9):.2f} scans/s), "
         f"{mapper.slam.stats['loop_closures']} loop closures"
     )
-    return mapper, None
+    gt = None
+    if args.gt:
+        # sidecar ground truth, one xyt row per log scan (see
+        # io/benchmark.write_carmen_log); subset to the integrated scans
+        full_gt = np.loadtxt(args.gt)
+        gt = full_gt[np.asarray(integrated_idx, dtype=int)]
+    return mapper, gt
 
 
 def run_synthetic(args):
@@ -92,6 +100,7 @@ def run_synthetic(args):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--carmen", help="CARMEN log file (FLASER/ROBOTLASER1)")
+    ap.add_argument("--gt", help="ground-truth sidecar (xyt row per scan)")
     ap.add_argument("--synthetic-laps", type=int, default=0)
     ap.add_argument("--max-scans", type=int, default=None)
     ap.add_argument("--out", default="/tmp/yag_slam_tpu_map")

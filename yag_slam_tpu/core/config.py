@@ -16,7 +16,21 @@ from dataclasses import dataclass
 @dataclass(frozen=True)
 class ScanMatcherConfig:
     """Same key set and defaults as the reference's `default_config`
-    (/root/reference/yag_slam/helpers.py:339-351)."""
+    (/root/reference/yag_slam/helpers.py:339-351).
+
+    DELIBERATE DECISION (VERDICT r1 item 9) on the three penalty keys:
+    `angle_variance_penalty`, `distance_variance_penalty` and
+    `minimum_angle_penalty` are carried for config/serde/checkpoint parity
+    but NOT consumed by the scoring kernels.  The reference's *executable
+    Python spec* hardcodes dist_var=0.5, ang_var=1.0 and comments out the
+    minimum-penalty clamps (/root/reference/yag_slam/helpers.py:181-184,
+    204, 208) — note its own config default ang=0.3 differs from the 1.0 it
+    actually uses.  OpenKarto's C++ matcher does consume them (and clamps
+    at the minimums); following it would silently diverge from the Python
+    spec that every golden test in tests/test_matching.py pins.  We match
+    the spec.  The scoring kernels accept `dist_var_penalty`/
+    `ang_var_penalty` arguments (matching.correlation.score_lattice*), so a
+    caller who wants Karto-C++ behavior can build a custom driver."""
 
     angle_variance_penalty: float = 0.3
     distance_variance_penalty: float = 0.5

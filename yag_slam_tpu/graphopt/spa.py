@@ -230,21 +230,27 @@ def _edge_blocks(poses, eidx, means, infos, emask):
     return r, Ji, Jj, W
 
 
-def _hessian_diag_blocks(Ji, Jj, W, eidx, free_mask, n_cap, dtype):
+def _hessian_diag_blocks(Ji, Jj, W, eidx, free_mask, n_cap, dtype,
+                         reduce=lambda x: x):
     """Block-diagonal of H as (N, 3, 3) — the PCG preconditioner and the
-    Marquardt damping diagonal."""
+    Marquardt damping diagonal.  `reduce` sums edge-shard partials across
+    the mesh (identity on a single device); gauge handling is applied
+    *after* the reduction so identity rows are not multiplied by the
+    device count."""
     Dii = jnp.einsum("eki,ekl,elj->eij", Ji, W, Ji)
     Djj = jnp.einsum("eki,ekl,elj->eij", Jj, W, Jj)
     D = jnp.zeros((n_cap, 3, 3), dtype=dtype)
     D = D.at[eidx[:, 0]].add(Dii)
     D = D.at[eidx[:, 1]].add(Djj)
+    D = reduce(D)
     fm = free_mask.astype(dtype)
     eye = jnp.eye(3, dtype=dtype)
     return D * fm[:, None, None] + (1.0 - fm)[:, None, None] * eye
 
 
-def _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype):
-    """Matrix-free H @ v over the edge list (v: (N, 3))."""
+def _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype,
+              reduce=lambda x: x):
+    """Matrix-free H @ v over the (possibly sharded) edge list (v: (N, 3))."""
     i = eidx[:, 0]
     j = eidx[:, 1]
     fm = free_mask.astype(dtype)
@@ -252,7 +258,8 @@ def _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype):
     def hvp(v):
         # fixed/padded nodes act as identity rows (consistent with the
         # dense assembly's gauge handling); their rhs is zero so any
-        # nonsingular scaling works.
+        # nonsingular scaling works.  The identity term is added after
+        # the cross-device reduction.
         vf = v * fm[:, None]
         Jiv = jnp.einsum("eij,ej->ei", Ji, vf[i])
         Jjv = jnp.einsum("eij,ej->ei", Jj, vf[j])
@@ -260,29 +267,41 @@ def _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype):
         out = jnp.zeros((n_cap, 3), dtype=dtype)
         out = out.at[i].add(jnp.einsum("eji,ej->ei", Ji, Wr))
         out = out.at[j].add(jnp.einsum("eji,ej->ei", Jj, Wr))
-        return out * fm[:, None] + (1.0 - fm)[:, None] * v
+        return reduce(out) * fm[:, None] + (1.0 - fm)[:, None] * v
 
     return hvp
 
 
 def _lm_candidate_cg(poses, eidx, means, infos, emask, free_mask, lam,
-                     cg_rtol, *, n_cap, cg_iters):
+                     cg_rtol, *, n_cap, cg_iters, axis_name=None):
     """Damped step via block-Jacobi-preconditioned conjugate gradients —
     the matrix-free path for graphs where a dense 3Nx3N factorization no
-    longer makes sense."""
+    longer makes sense.
+
+    With `axis_name` set (inside shard_map), the edge arrays are the local
+    shard and every edge reduction (rhs, preconditioner diagonal, HVP,
+    cost) is psum-reduced over the mesh axis: per-device memory is
+    O(E/n_devices + N) and one collective rides ICI per CG iteration —
+    no (3N, 3N) object ever exists (see parallel/dist_spa.py and
+    tests/test_parallel.py::test_dist_spa_no_dense_hessian)."""
     dtype = poses.dtype
     r, Ji, Jj, W = _edge_blocks(poses, eidx, means, infos, emask)
     fm = free_mask.astype(dtype)
+
+    def _reduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
 
     b = jnp.zeros((n_cap, 3), dtype=dtype)
     JiWr = jnp.einsum("eji,ejl,el->ei", Ji, W, r)
     JjWr = jnp.einsum("eji,ejl,el->ei", Jj, W, r)
     b = b.at[eidx[:, 0]].add(JiWr)
     b = b.at[eidx[:, 1]].add(JjWr)
-    b = -b * fm[:, None]
+    b = -_reduce(b) * fm[:, None]
 
-    D = _hessian_diag_blocks(Ji, Jj, W, eidx, free_mask, n_cap, dtype)
-    hvp = _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype)
+    D = _hessian_diag_blocks(Ji, Jj, W, eidx, free_mask, n_cap, dtype,
+                             reduce=_reduce)
+    hvp = _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype,
+                    reduce=_reduce)
     # Marquardt damping on the block diagonal
     damped_diag = D + lam * D * jnp.eye(3, dtype=dtype)[None]
 
@@ -335,16 +354,23 @@ def _lm_candidate_cg(poses, eidx, means, infos, emask, free_mask, lam,
     delta = x * fm[:, None]
     cand = poses + delta
     cand = cand.at[:, 2].set(_wrap(cand[:, 2]))
-    cost = graph_cost(cand, eidx, means, infos, emask, n_cap=n_cap)
+    rr = edge_residuals(cand, eidx, means)
+    per_edge = jnp.einsum("ei,eij,ej->e", rr, infos, rr)
+    cost = _reduce(jnp.sum(jnp.where(emask, per_edge, 0.0)))
     return cand, cost
 
 
-@partial(jax.jit, static_argnames=("n_cap", "max_iters", "cg_iters"))
-def lm_run_cg(poses, eidx, means, infos, emask, free_mask, lam0, ctol,
-              cg_rtol, *, n_cap, max_iters, cg_iters):
+def _lm_run_cg_impl(poses, eidx, means, infos, emask, free_mask, lam0, ctol,
+                    cg_rtol, *, n_cap, max_iters, cg_iters, axis_name=None):
     """LM loop with matrix-free PCG steps, fused into one device program.
-    Same accept/convergence logic as `lm_run`."""
-    cost0 = graph_cost(poses, eidx, means, infos, emask, n_cap=n_cap)
+    Same accept/convergence logic as `lm_run`.  With `axis_name`, edge
+    arrays are mesh shards and reductions ride psum (the distributed SPA
+    path, parallel/dist_spa.py)."""
+    r0 = edge_residuals(poses, eidx, means)
+    pe0 = jnp.einsum("ei,eij,ej->e", r0, infos, r0)
+    cost0 = jnp.sum(jnp.where(emask, pe0, 0.0))
+    if axis_name:
+        cost0 = jax.lax.psum(cost0, axis_name)
 
     def cond(carry):
         _, _, _, it, done = carry
@@ -354,7 +380,7 @@ def lm_run_cg(poses, eidx, means, infos, emask, free_mask, lam0, ctol,
         p, cost, lam, it, _ = carry
         cand, new_cost = _lm_candidate_cg(
             p, eidx, means, infos, emask, free_mask, lam, cg_rtol,
-            n_cap=n_cap, cg_iters=cg_iters,
+            n_cap=n_cap, cg_iters=cg_iters, axis_name=axis_name,
         )
         accept = jnp.isfinite(new_cost) & (new_cost <= cost)
         decrease = cost - new_cost
@@ -372,6 +398,12 @@ def lm_run_cg(poses, eidx, means, infos, emask, free_mask, lam0, ctol,
         cond, body, (poses, cost0, lam0, jnp.int32(0), jnp.bool_(False))
     )
     return p, cost, iters
+
+
+lm_run_cg = jax.jit(
+    _lm_run_cg_impl, static_argnames=("n_cap", "max_iters", "cg_iters",
+                                      "axis_name")
+)
 
 
 def _cap(n, minimum=16):
@@ -424,14 +456,26 @@ def _np_cost(poses, eidx, means, infos):
 def _host_lm(poses, eidx, means, infos, max_iters, lam0, conv_tol):
     """LM with exact sparse f64 steps on host.  poses (N,3) f64 (node 0 is
     the gauge), eidx (E,2) int, means (E,3), infos (E,3,3).  Returns
-    (poses, cost, iters)."""
+    (poses, cost, iters, reason) with reason in {"converged", "max_iters",
+    "lambda_blowup", "empty"}."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
     n = poses.shape[0]
     nf = n - 1  # free nodes (gauge excluded)
     if nf < 1:
-        return poses, 0.0, 0
+        return poses, 0.0, 0, "empty"
+
+    # A free node with no incident constraints makes H structurally
+    # singular (the device paths give such nodes identity rows; splu would
+    # raise or factor garbage).  Pin them with a unit diagonal — their rhs
+    # is zero, so they solve to a zero update, same as the device paths.
+    degree = np.zeros(n, dtype=np.int64)
+    np.add.at(degree, eidx.ravel(), 1)
+    dangling = np.zeros(3 * nf)
+    iso = np.flatnonzero(degree[1:] == 0)
+    if iso.size:
+        dangling[np.repeat(3 * iso, 3) + np.tile(np.arange(3), iso.size)] = 1.0
 
     def assemble(p):
         r, lx, ly, c, s = _np_residuals(p, eidx, means)
@@ -481,6 +525,8 @@ def _host_lm(poses, eidx, means, infos, max_iters, lam0, conv_tol):
         H = sp.coo_matrix(
             (blocks.ravel(), (rr, cc)), shape=(3 * nf, 3 * nf)
         ).tocsc()
+        if iso.size:
+            H = H + sp.diags(dangling)
         b = np.zeros((n, 3))
         np.add.at(b, eidx[:, 0], bi)
         np.add.at(b, eidx[:, 1], bj)
@@ -490,6 +536,7 @@ def _host_lm(poses, eidx, means, infos, max_iters, lam0, conv_tol):
     cost = _np_cost(p, eidx, means, infos)
     lam = lam0
     it = 0
+    reason = "max_iters"
     H, b = assemble(p)
     while it < max_iters:
         it += 1
@@ -511,13 +558,15 @@ def _host_lm(poses, eidx, means, infos, max_iters, lam0, conv_tol):
             p, cost = cand, new_cost
             lam = max(lam / 3.0, 1e-12)
             if decrease <= conv_tol * new_cost + 1e-15:
+                reason = "converged"
                 break
             H, b = assemble(p)
         else:
             lam *= 4.0
             if lam > 1e8:
+                reason = "lambda_blowup"
                 break
-    return p, cost, it
+    return p, cost, it, reason
 
 
 class PoseGraphSolver:
@@ -525,7 +574,7 @@ class PoseGraphSolver:
 
     `solver`:
       - "host"  — exact sparse f64 LM on the host CPU (vectorized numpy
-        assembly + SuperLU).  The low-latency default: at online-SLAM graph
+        assembly + SuperLU).  The low-latency choice: at online-SLAM graph
         sizes the solve is latency-bound and f32 device steps are too
         inexact for the chain-conditioned normal equations (see _host_lm).
       - "dense" — device Cholesky of the full 3Nx3N system (f64 on device),
@@ -533,15 +582,24 @@ class PoseGraphSolver:
       - "cg"    — device matrix-free block-Jacobi PCG over the edge list;
         the building block of the distributed Schur path
         (parallel/dist_spa.py) for pod-scale graphs.
-      - "auto"  — "host".
+      - "auto"  — host below AUTO_HOST_NODE_LIMIT nodes, device above
+        (dense up to dense_node_limit, then matrix-free PCG).  The limit
+        comes from the measured host/device crossover on the real TPU —
+        see BASELINE.md "SPA solver crossover" (profile_spa.py).
     """
 
     DENSE_NODE_LIMIT = 1024
+    # Measured on TPU v5e (profile_spa.py, BASELINE.md): the host sparse
+    # f64 path wins at every size we can factor dense; the device CG path
+    # overtakes once assembly dominates (several thousand nodes).
+    AUTO_HOST_NODE_LIMIT = 4096
 
-    def __init__(self, dtype=None, solver="auto", dense_node_limit=None):
+    def __init__(self, dtype=None, solver="auto", dense_node_limit=None,
+                 auto_host_limit=None):
         self.dtype = dtype  # None -> jax default (x64 on CPU tests)
         self.solver = solver
         self.dense_node_limit = dense_node_limit or self.DENSE_NODE_LIMIT
+        self.auto_host_limit = auto_host_limit or self.AUTO_HOST_NODE_LIMIT
         self.poses = []  # python lists; packed per solve
         self.edge_idx = []
         self.edge_means = []
@@ -567,17 +625,29 @@ class PoseGraphSolver:
     def set_pose(self, node_id, x, y, yaw):
         self.poses[self.id_to_index[node_id]] = [float(x), float(y), float(yaw)]
 
+    def _use_host(self, n):
+        if self.solver == "host":
+            return True
+        return self.solver == "auto" and n <= self.auto_host_limit
+
     # -- solve --------------------------------------------------------------
     def optimize(self, max_iters=100, init_lambda=1.0e-4, tol=1.0e-9,
                  verbose=False, max_cg_iters=50, conv_tol=1.0e-4):
+        """Run LM to convergence.
+
+        `conv_tol` is the LM stop: relative cost decrease of an accepted
+        step (all paths).  `tol` is the CG relative-residual stop and only
+        affects the device "cg"/distributed paths (the C++ SPA's initTol
+        plays the same role); the host and dense paths solve exactly.
+        """
         n = len(self.poses)
         e = len(self.edge_idx)
         if n < 2 or e == 0:
             return 0.0
 
-        if self.solver in ("auto", "host"):
+        if self._use_host(n):
             p = np.asarray(self.poses, dtype=np.float64)
-            out, cost, iters = _host_lm(
+            out, cost, iters, reason = _host_lm(
                 p,
                 np.asarray(self.edge_idx, dtype=np.int64),
                 np.asarray(self.edge_means, dtype=np.float64),
@@ -585,7 +655,7 @@ class PoseGraphSolver:
                 max_iters, init_lambda, conv_tol,
             )
             if verbose:
-                print(f"[spa] converged in {iters} iters, chi2 {cost:.6g}")
+                print(f"[spa] {reason} after {iters} iters, chi2 {cost:.6g}")
             for i in range(n):
                 self.poses[i] = [float(out[i, 0]), float(out[i, 1]),
                                  float(out[i, 2])]
@@ -644,7 +714,7 @@ class PoseGraphSolver:
                 )
             cost = float(cost)
         if verbose:
-            print(f"[spa] converged in {int(iters)} iters, chi2 {cost:.6g}")
+            print(f"[spa] stopped after {int(iters)} iters, chi2 {cost:.6g}")
 
         out = np.asarray(final_poses[:n], dtype=np.float64)
         for i in range(n):
@@ -677,12 +747,15 @@ class SPA2d:
         self._solver.add_constraint(from_id, to_id, dx, dy, dyaw, info)
 
     def compute(self, niter=100, s_lambda=1.0e-4, use_csparse=True,
-                init_tol=1.0e-9, max_cg_iters=50, verbose=False):
+                init_tol=1.0e-9, max_cg_iters=50, verbose=False,
+                conv_tol=1.0e-4):
         # use_csparse accepted for signature parity; the solver chooses
-        # dense vs matrix-free PCG by graph size (or the ctor override).
+        # host vs dense vs matrix-free PCG by graph size (or the ctor
+        # override).  conv_tol is the LM relative-cost-decrease stop;
+        # init_tol only affects the CG residual on device paths.
         return self._solver.optimize(
             max_iters=niter, init_lambda=s_lambda, tol=init_tol,
-            verbose=verbose, max_cg_iters=max_cg_iters,
+            verbose=verbose, max_cg_iters=max_cg_iters, conv_tol=conv_tol,
         )
 
     @property

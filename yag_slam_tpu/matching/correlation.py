@@ -477,17 +477,32 @@ def score_lattice_patch_batched(
     lattice stride.  Measured ~4.7x faster at the reference's default
     coarse lattice (25x25x10, P=512, N=16).
 
-    Exactness note: the gather path rounds the world coordinate
-    independently per lattice column; this path rounds once per point at
-    the lattice origin and walks cells by the exact integer stride
-    (xy_res/grid_res, required integral).  The two agree except when
-    float rounding of `(x + i*xy_res)/res` crosses a half-cell boundary
-    differently than `round(x/res) + i*stride` — an ulp-scale event with
-    no counterpart bias; the reference itself recomputes in float64
-    where the same boundary sits elsewhere.  Out-of-grid reads contribute
-    exactly 0 via zero padding, matching the reference's bounds masks
-    (cells outside the subgrid are provably zero; cells outside the full
-    grid are skipped by the reference, i.e. also 0).
+    Exactness notes:
+
+    - The gather path rounds the world coordinate independently per
+      lattice column; this path rounds once per point at the lattice
+      origin and walks cells by the exact integer stride
+      (xy_res/grid_res, required integral).  The two agree except when
+      an exact half-cell coordinate makes `round((x + i*xy_res)/res)`
+      land on the other side of banker's rounding than
+      `round(x/res) + i*stride` — a measure-zero event on real data,
+      but when it fires the two paths disagree by a full cell (one
+      column of point reads shifts), not an ulp.  There is no
+      counterpart bias; the reference itself recomputes in float64
+      where the same boundary sits elsewhere.
+    - Reads below/past the *subgrid* contribute exactly 0 via zero
+      padding (cells outside the subgrid are provably zero).
+      PRECONDITION: cells whose *full-grid* index is >= grid_size must
+      already be zero in `qgrid2d` — smear can populate them when the
+      subgrid overhangs the grid's high edge, and unlike the element
+      path this function has no per-read (gx < G) mask.  The matcher
+      zeroes them at q2d build.
+    - Memory: the window gather produces a logical
+      (N, NT, P, WINY, WINX) intermediate (~2e8 f32 at the default
+      coarse lattice) that XLA fuses into the point-sum reduction on
+      TPU; peak memory relies on that fusion.  If a backend/shape combo
+      ever breaks the fusion the fix is chunking the point axis
+      (lax.map over P blocks), not a smaller window.
     """
     NX, NY, NT = spec
     N, S, _ = qgrid2d.shape

@@ -45,6 +45,72 @@ def segment_runs(px, py, n):
     return anchor, term, has
 
 
+try:
+    from yag_slam_tpu.native import _refbaseline
+
+    HAVE_REFBASELINE = True
+except ImportError:  # pragma: no cover - depends on build environment
+    _refbaseline = None
+    HAVE_REFBASELINE = False
+
+
+def refbaseline_available() -> bool:
+    return HAVE_REFBASELINE
+
+
+def refbaseline_match_scan(query, base_scans, config, penalty=True,
+                           do_fine=True, n_threads=None):
+    """Reference-equivalent CPU scan match (the honest benchmark baseline —
+    see native/refbaseline.cpp).  Same contract as the reference's
+    Scan2DMatcherPy.match_scan (/root/reference/yag_slam/scan_matching.py:
+    175-222): returns (response, covariance (3,3), (x, y, theta)).
+
+    `config` needs keys: search_size, resolution, smear_deviation,
+    range_threshold, coarse_search_angle_offset, coarse_angle_resolution.
+    """
+    import os
+
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    search = float(config["search_size"])
+    res = float(config["resolution"])
+    smear = float(config["smear_deviation"])
+    rng_t = float(config["range_threshold"])
+    ang_size = float(config.get("coarse_search_angle_offset", 0.349))
+    ang_res = float(config.get("coarse_angle_resolution", 0.0349))
+
+    p = query.corrected_pose
+    cx, cy, ct = float(p.x), float(p.y), float(p.euler[-1])
+
+    base_pts = []
+    for s in base_scans:
+        wx, wy = s.points()
+        base_pts.append((
+            np.ascontiguousarray(wx, dtype=np.float64).tobytes(),
+            np.ascontiguousarray(wy, dtype=np.float64).tobytes(),
+        ))
+    qx, qy = query.points_local()
+    qx = np.ascontiguousarray(qx, dtype=np.float64)
+    qy = np.ascontiguousarray(qy, dtype=np.float64)
+
+    # np.arange length semantics for the two lattices
+    def _n(size, step):
+        return len(np.arange(-size, size, step))
+
+    nx_c = _n(search * 0.5, res * 2.0)
+    nt_c = _n(ang_size * 0.5, ang_res)
+    nx_f = _n(res * 2.0, res)
+    nt_f = _n(0.0349 * 0.5, 0.00349)
+
+    r, x, y, t, XX, YY, XY, TH = _refbaseline.match_scan(
+        base_pts, qx, qy, cx, cy, ct, search, res, smear, rng_t,
+        ang_size, ang_res, int(bool(penalty)), int(bool(do_fine)),
+        int(n_threads), nx_c, nx_c, nt_c, nx_f, nx_f, nt_f,
+    )
+    covar = np.array([[XX, XY, 0.0], [XY, YY, 0.0], [0.0, 0.0, TH]])
+    return r, covar, (x, y, t)
+
+
 def parse_carmen(path, max_scans=None):
     """Native twin of io.carmen.load_carmen_log; returns CarmenScan list."""
     from yag_slam_tpu.io.carmen import CarmenScan

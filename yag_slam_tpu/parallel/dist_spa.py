@@ -2,11 +2,20 @@
 
 The global SPA normal equations are a sum of independent per-edge
 contributions: H = Σ_e J_e^T Ω_e J_e, b = Σ_e J_e^T Ω_e r_e.  Sharding the
-edge list over a mesh axis and `psum`-reducing the (3N, 3N)/(3N,) partials
-gives the distributed solve: per-device work scales with E/n_devices, one
-collective per LM iteration rides ICI, and the dense factorization runs
-replicated (cheap relative to assembly for the graph sizes where a single
-dense solve is still the right call; a CG/Schur path is the next rung).
+edge list over a mesh axis makes every reduction a collective:
+
+- **"cg" (default)** — matrix-free block-Jacobi-preconditioned CG: per LM
+  iteration the rhs b, the block-diagonal preconditioner and every CG
+  Hessian-vector product are assembled from the *local* edge shard and
+  `psum`-reduced over ICI.  Per-device memory is O(E/n_devices + N·3) —
+  no (3N, 3N) object ever exists (asserted by
+  tests/test_parallel.py::test_dist_spa_no_dense_hessian) — so the graph
+  size is bounded by pose storage, not by a dense factorization.  This is
+  the Schur-free distributed solve the scaling story needs: one psum per
+  CG iteration, poses replicated, edges sharded.
+- **"dense"** — psum the dense (3N, 3N) normal equations and factorize
+  replicated.  Kept for small graphs and as a cross-check; per-device
+  memory is O(N^2).
 
 The reference has no distributed anything (SURVEY §2.3) — this is the
 "long-trajectory" scaling story for pod-scale lifelong mapping.
@@ -22,9 +31,9 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from yag_slam_tpu.graphopt.spa import (
+    _lm_run_cg_impl,
     _wrap,
     build_normal_equations,
-    graph_cost,
 )
 
 
@@ -36,9 +45,29 @@ def _edge_cost_local(poses, eidx, means, infos, emask, axis):
     return jax.lax.psum(jnp.sum(jnp.where(emask, per_edge, 0.0)), axis)
 
 
+def make_distributed_lm_run_cg(mesh, n_cap, max_iters, cg_iters, axis="dp"):
+    """Build the sharded matrix-free LM program: edges sharded over `axis`,
+    poses replicated, psum-reduced rhs/preconditioner/HVPs (see
+    graphopt.spa._lm_candidate_cg)."""
+
+    body = partial(
+        _lm_run_cg_impl,
+        n_cap=n_cap, max_iters=max_iters, cg_iters=cg_iters, axis_name=axis,
+    )
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(), P(), P(),
+                  P()),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(sharded)
+
+
 def make_distributed_lm_run(mesh, n_cap, max_iters, axis="dp"):
-    """Build the sharded LM program: edges sharded over `axis`, poses
-    replicated, one psum per iteration."""
+    """The dense-replicated variant: psum the (3N, 3N) normal equations,
+    factorize on every device.  O(N^2) per-device memory — small graphs /
+    cross-checks only; the "cg" path is the scalable one."""
 
     def body_fn(poses, eidx, means, infos, emask, free_mask, lam0, tol):
         cost0 = _edge_cost_local(poses, eidx, means, infos, emask, axis)
@@ -89,13 +118,19 @@ def make_distributed_lm_run(mesh, n_cap, max_iters, axis="dp"):
 class DistributedSPA:
     """SPA2d-shaped solver whose normal-equation assembly shards edges over
     a device mesh.  Same add_node/add_constraint/compute contract as
-    graphopt.spa.SPA2d."""
+    graphopt.spa.SPA2d.
 
-    def __init__(self, mesh, axis="dp", dtype=None):
+    solver="cg" (default): matrix-free psum-reduced PCG, O(E/n + N) per
+    device.  solver="dense": replicated dense factorization, small graphs
+    only.
+    """
+
+    def __init__(self, mesh, axis="dp", dtype=None, solver="cg"):
         from yag_slam_tpu.graphopt.spa import PoseGraphSolver
 
         self.mesh = mesh
         self.axis = axis
+        self.solver = solver
         self._solver = PoseGraphSolver(dtype=dtype)
         self._programs = {}
 
@@ -112,7 +147,8 @@ class DistributedSPA:
         return [_NodeView(x, y, yaw) for x, y, yaw in self._solver.poses]
 
     def compute(self, niter=100, s_lambda=1.0e-4, use_csparse=True,
-                init_tol=1.0e-9, max_cg_iters=50, verbose=False):
+                init_tol=1.0e-9, max_cg_iters=50, verbose=False,
+                conv_tol=1.0e-4):
         from yag_slam_tpu.graphopt.spa import _cap
 
         s = self._solver
@@ -141,22 +177,45 @@ class DistributedSPA:
         free = np.zeros(n_cap, dtype=bool)
         free[1:n] = True
 
-        key = (n_cap, e_cap, niter)
+        key = (self.solver, n_cap, e_cap, niter, max_cg_iters)
         prog = self._programs.get(key)
         if prog is None:
-            prog = make_distributed_lm_run(self.mesh, n_cap, niter, self.axis)
+            if self.solver == "cg":
+                prog = make_distributed_lm_run_cg(
+                    self.mesh, n_cap, niter, max_cg_iters, self.axis
+                )
+            else:
+                prog = make_distributed_lm_run(
+                    self.mesh, n_cap, niter, self.axis
+                )
             self._programs[key] = prog
 
-        final, cost, iters = prog(
-            jnp.asarray(poses, dtype=dtype),
-            jnp.asarray(eidx),
-            jnp.asarray(means, dtype=dtype),
-            jnp.asarray(infos, dtype=dtype),
-            jnp.asarray(emask),
-            jnp.asarray(free),
-            jnp.asarray(s_lambda, dtype=dtype),
-            jnp.asarray(init_tol, dtype=dtype),
+        # explicit shardings so inputs land directly on their shards (and
+        # so host numpy values work under multi-process jax.distributed,
+        # where jit cannot infer a global placement for them)
+        from jax.sharding import NamedSharding
+
+        rep = NamedSharding(self.mesh, P())
+        shd = NamedSharding(self.mesh, P(self.axis))
+        common = (
+            jax.device_put(jnp.asarray(poses, dtype=dtype), rep),
+            jax.device_put(jnp.asarray(eidx), shd),
+            jax.device_put(jnp.asarray(means, dtype=dtype), shd),
+            jax.device_put(jnp.asarray(infos, dtype=dtype), shd),
+            jax.device_put(jnp.asarray(emask), shd),
+            jax.device_put(jnp.asarray(free), rep),
+            jax.device_put(jnp.asarray(s_lambda, dtype=dtype), rep),
         )
+        if self.solver == "cg":
+            final, cost, iters = prog(
+                *common,
+                jax.device_put(jnp.asarray(conv_tol, dtype=dtype), rep),
+                jax.device_put(jnp.asarray(init_tol, dtype=dtype), rep),
+            )
+        else:
+            final, cost, iters = prog(
+                *common, jax.device_put(jnp.asarray(init_tol, dtype=dtype), rep)
+            )
         out = np.asarray(final[:n], dtype=np.float64)
         for i in range(n):
             s.poses[i] = [float(out[i, 0]), float(out[i, 1]), float(out[i, 2])]

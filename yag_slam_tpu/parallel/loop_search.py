@@ -46,13 +46,29 @@ class ShardedLoopMatcher:
         if prog is not None:
             return prog
         core = self.matcher.batched_core(Pcap, B, penalty, do_fine, S)
+        axis = self.axis
+
+        def core_gathered(*args):
+            # all_gather the (tiny) per-job results so the output is
+            # replicated: every process can read it with plain np.asarray
+            # even under multi-process jax.distributed (sharded outputs
+            # are not fully addressable from one host).
+            coarse, fine = core(*args)[:2]
+            return (
+                jax.lax.all_gather(coarse, axis, axis=0, tiled=True),
+                jax.lax.all_gather(fine, axis, axis=0, tiled=True),
+            )
+
         rep = P()
         spec = P(self.axis)
         sharded = shard_map(
-            core,
+            core_gathered,
             mesh=self.mesh,
             in_specs=(rep, spec, spec, spec, spec, spec, spec, spec),
-            out_specs=(spec, spec),
+            out_specs=(rep, rep),
+            # the tiled all_gather makes the outputs replicated, but vma
+            # inference can't prove it through the gather; skip the check
+            check_vma=False,
         )
         prog = jax.jit(sharded)
         self._programs[key] = prog
@@ -76,8 +92,22 @@ class ShardedLoopMatcher:
         )
 
         prog = self._program(Pcap, B, bool(penalty), bool(do_fine), S)
-        outs = prog(m.library.fields, idx, mask, pose, q_idx, center,
-                    center[:, :2], sub)
+        fields = m.library.fields
+        vp = center[:, :2]
+        if jax.process_count() > 1:
+            # under multi-process jax.distributed the process-local library
+            # arrays must be placed explicitly on the global mesh
+            from jax.sharding import NamedSharding
+
+            rep = NamedSharding(self.mesh, P())
+            shd = NamedSharding(self.mesh, P(self.axis))
+            fields = {k: jax.device_put(np.asarray(v), rep)
+                      for k, v in fields.items()}
+            idx, mask, pose, q_idx, center, vp, sub = (
+                jax.device_put(np.asarray(a), shd)
+                for a in (idx, mask, pose, q_idx, center, vp, sub)
+            )
+        outs = prog(fields, idx, mask, pose, q_idx, center, vp, sub)
         coarse, fine = np.asarray(outs[0]), np.asarray(outs[1])
 
         return [
