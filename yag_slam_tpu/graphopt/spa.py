@@ -272,6 +272,29 @@ def _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype,
     return hvp
 
 
+def _inv3x3(m):
+    """Batched closed-form 3x3 inverse, any float dtype (TPU-safe)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    D = -(b * i - c * h)
+    E = a * i - c * g
+    F = -(a * h - b * g)
+    G = b * f - c * e
+    H = -(a * f - c * d)
+    Ii = a * e - b * d
+    det = a * A + b * B + c * C
+    adj = jnp.stack(
+        [jnp.stack([A, D, G], axis=-1),
+         jnp.stack([B, E, H], axis=-1),
+         jnp.stack([C, F, Ii], axis=-1)], axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
 def _lm_candidate_cg(poses, eidx, means, infos, emask, free_mask, lam,
                      cg_rtol, *, n_cap, cg_iters, axis_name=None):
     """Damped step via block-Jacobi-preconditioned conjugate gradients —
@@ -312,9 +335,10 @@ def _lm_candidate_cg(poses, eidx, means, infos, emask, free_mask, lam,
         )
         return base + extra * fm[:, None]
 
-    Minv = jnp.linalg.inv(
-        damped_diag + 1e-12 * jnp.eye(3, dtype=dtype)[None]
-    )
+    # closed-form 3x3 block inverse (adjugate/determinant): TPU's
+    # LuDecomposition path behind jnp.linalg.inv supports only f32, and
+    # batched tiny inverses are faster in closed form anyway
+    Minv = _inv3x3(damped_diag + 1e-12 * jnp.eye(3, dtype=dtype)[None])
 
     def precond(v):
         return jnp.einsum("nij,nj->ni", Minv, v)
@@ -589,10 +613,14 @@ class PoseGraphSolver:
     """
 
     DENSE_NODE_LIMIT = 1024
-    # Measured on TPU v5e (profile_spa.py, BASELINE.md): the host sparse
-    # f64 path wins at every size we can factor dense; the device CG path
-    # overtakes once assembly dominates (several thousand nodes).
-    AUTO_HOST_NODE_LIMIT = 4096
+    # Measured on TPU v5e (profile_spa.py; table in BASELINE.md): the host
+    # sparse f64 path wins at every single-chip size measured (9 ms vs
+    # 194 ms at 100 nodes, 33 ms vs 1.4 s dense / 5.0 s CG at 500) — f64
+    # emulation + per-iteration latency swamp the device.  There is no
+    # single-chip crossover; the device paths earn their keep only as the
+    # building block of the *distributed* solve (parallel/dist_spa.py).
+    # The limit stays a knob for pod-attached deployments.
+    AUTO_HOST_NODE_LIMIT = 65536
 
     def __init__(self, dtype=None, solver="auto", dense_node_limit=None,
                  auto_host_limit=None):

@@ -233,6 +233,38 @@ def build_occupancy_padded(
 
 
 
+def build_occupancy_pallas(
+    wx, wy, keep, ox, oy, sox, soy, *, G, S, h, Cpad, res, dtype,
+    interpret=False,
+):
+    """Pallas twin of :func:`build_occupancy_padded`: same layout and
+    bounds semantics, but the scatter runs as per-job VMEM stores instead
+    of XLA's serialized scatter-max (~0.25 us/index on v5e).  Invalid
+    points are dumped at column Cpad-1, which is >= S + 2h and therefore
+    outside every column the smear kernels read."""
+    from yag_slam_tpu.matching.pallas_kernels import (
+        ROW_TILE,
+        scatter_occupancy_pallas,
+    )
+
+    N = wx.shape[0]
+    rows = S + 2 * ROW_TILE
+    gx = world_to_grid_idx(wx, ox[:, None, None], res)
+    gy = world_to_grid_idx(wy, oy[:, None, None], res)
+    inb = (gx >= 0) & (gx < G) & (gy >= 0) & (gy < G) & keep
+    sx = gx - sox[:, None, None] + h
+    sy = gy - soy[:, None, None] + ROW_TILE
+    ok = inb & (sx >= 0) & (sx < Cpad) & (sy >= 0) & (sy < rows)
+    sy = jnp.where(ok, sy, 0).reshape(N, -1).astype(jnp.int32)
+    sx = jnp.where(ok, sx, Cpad - 1).reshape(N, -1).astype(jnp.int32)
+    occ = scatter_occupancy_pallas(sy, sx, rows=rows, Cpad=Cpad,
+                                   interpret=interpret)
+    # smear must run at full precision: the Gaussian taps quantize to
+    # floor(100 * tap) downstream, and bf16 tap rounding could cross an
+    # integer boundary
+    return occ.astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # Candidate-lattice scoring + best-pose reduction
 # ---------------------------------------------------------------------------
@@ -560,6 +592,130 @@ def score_lattice_patch_batched(
     ps = jnp.sum(patches, axis=2)                 # (N, NT, WINY, WINX)
     raw = ps[:, :, ::stride, ::stride]            # (N, NT, NY, NX)
     raw = raw.transpose(0, 3, 2, 1)               # (N, NX, NY, NT)
+
+    if penalize:
+        penalty = _lattice_penalty(
+            xvals, yvals, tvals, ct, ox, oy, grid_size=G, grid_res=grid_res,
+            dist_var_penalty=dist_var_penalty, ang_var_penalty=ang_var_penalty,
+        )
+    else:
+        penalty = jnp.ones((), dtype=dtype)
+
+    out = raw.astype(dtype) / n_pts[:, None, None, None] * penalty / 100.0
+    return out, xvals, yvals, tvals
+
+
+def vmem_score_layout(S: int, spec: LatticeSpec, stride: int):
+    """Static layout parameters for the VMEM window-sum scorer (see
+    pallas_kernels.score_windows_pallas).  Returns (ROWS, ROWS_PAD, R, L,
+    q_stack_bytes)."""
+    NX, NY, NT = spec
+    ROWS = stride * (NY - 1) + 1
+    ROWS_PAD = ((ROWS + 7) // 8) * 8
+    # +8 rows / +256 lanes absorb the kernel's aligned-load over-read
+    # (it loads (ROWS_PAD + 8, 256) from the tile-aligned start and
+    # rotates the misalignment away)
+    R = S + 2 * ROWS_PAD + 8
+    if stride == 2:
+        Sh = S // 2
+        L = ((Sh + 384 + 127) // 128) * 128
+        q_bytes = 2 * R * L * 2
+    else:
+        L = ((S + 384 + 127) // 128) * 128
+        q_bytes = R * L * 2
+    return ROWS, ROWS_PAD, R, L, q_bytes
+
+
+def score_lattice_vmem_batched(
+    qgrid2d,     # (N, S, S) quantized subgrids (already full-grid masked)
+    pts_x,       # (N, P)
+    pts_y,
+    n_pts,       # (N,)
+    cx, cy, ct,  # (N,)
+    ox, oy,      # (N,)
+    sox, soy,    # (N,)
+    *,
+    spec: LatticeSpec,
+    xy_size, xy_res, ang_size, ang_res,
+    grid_size: int,
+    grid_res: float,
+    sub_size: int,
+    penalize: bool,
+    dtype,
+    dist_var_penalty: float = 0.5,
+    ang_var_penalty: float = 1.0,
+    interpret: bool = False,
+):
+    """Lattice scoring via the VMEM-resident Pallas window-sum kernel (the
+    TPU fast path; pallas_kernels.score_windows_pallas documents the cost
+    model).  Index math is identical to :func:`score_lattice_patch_batched`
+    (round once at the lattice origin, walk integer strides), so the two
+    paths agree cell-for-cell; values are integers <= 100 so the bf16
+    grid + f32 accumulation are exact.
+
+    Supports stride = xy_res/grid_res in {1, 2} and NX <= 128; callers
+    gate on :func:`vmem_score_layout` for the VMEM budget.
+    """
+    from yag_slam_tpu.matching.pallas_kernels import score_windows_pallas
+
+    NX, NY, NT = spec
+    N, S, _ = qgrid2d.shape
+    G = grid_size
+    stride = int(round(xy_res / grid_res))
+    assert stride in (1, 2), stride
+    assert NX <= 128, NX
+    ROWS, ROWS_PAD, R, L, _ = vmem_score_layout(S, spec, stride)
+
+    ar_x = jnp.arange(NX, dtype=dtype)
+    xvals = (cx - xy_size)[:, None] + ar_x[None, :] * xy_res
+    yvals = (cy - xy_size)[:, None] + jnp.arange(NY, dtype=dtype)[None] * xy_res
+    tvals = (ct - ang_size)[:, None] + jnp.arange(NT, dtype=dtype)[None] * ang_res
+
+    c, s = jnp.cos(tvals), jnp.sin(tvals)                       # (N, NT)
+    rx = c[:, :, None] * pts_x[:, None, :] - s[:, :, None] * pts_y[:, None, :]
+    ry = s[:, :, None] * pts_x[:, None, :] + c[:, :, None] * pts_y[:, None, :]
+
+    gx0 = world_to_grid_idx(
+        xvals[:, 0, None, None] + rx, ox[:, None, None], grid_res
+    )  # (N, NT, P)
+    gy0 = world_to_grid_idx(
+        yvals[:, 0, None, None] + ry, oy[:, None, None], grid_res
+    )
+    sgx0 = gx0 - sox[:, None, None]
+    sgy0 = gy0 - soy[:, None, None]
+
+    # clamp into the zero margins (float->int32 saturates for _FAR lanes,
+    # so clip before any arithmetic)
+    y0 = jnp.clip(sgy0, -ROWS_PAD, S) + ROWS_PAD            # [0, S+ROWS_PAD]
+
+    q16 = qgrid2d.astype(jnp.bfloat16)
+    rows_padded = jnp.pad(q16, ((0, 0), (ROWS_PAD, ROWS_PAD + 8), (0, 0)))
+    if stride == 2:
+        Sh = S // 2
+        px = sgx0 & 1                                        # floor phase
+        xh0 = sgx0 >> 1
+        col0 = jnp.clip(xh0, -128, Sh) + 128
+        qe = rows_padded[:, :, 0::2]
+        qo = rows_padded[:, :, 1::2]
+        pad_r = L - Sh - 128
+        q_stack = jnp.concatenate(
+            [jnp.pad(qe, ((0, 0), (0, 0), (128, pad_r))),
+             jnp.pad(qo, ((0, 0), (0, 0), (128, pad_r)))],
+            axis=1,
+        )                                                    # (N, 2R, L)
+        row0 = px * R + y0
+    else:
+        pad_r = L - S - 128
+        q_stack = jnp.pad(rows_padded, ((0, 0), (0, 0), (128, pad_r)))
+        col0 = jnp.clip(sgx0, -128, S) + 128
+        row0 = y0
+
+    acc = score_windows_pallas(
+        q_stack, row0.astype(jnp.int32), col0.astype(jnp.int32),
+        ROWS_PAD=ROWS_PAD, interpret=interpret,
+    )                                                        # (N, NT, ROWS_PAD, 128)
+    raw = acc[:, :, 0 : stride * NY : stride, :NX]           # (N, NT, NY, NX)
+    raw = raw.transpose(0, 3, 2, 1)                          # (N, NX, NY, NT)
 
     if penalize:
         penalty = _lattice_penalty(

@@ -64,6 +64,10 @@ _VIEW_KEYS = ("lx", "ly", "anchor", "term", "has_run")
 
 _SUB_BUCKETS = (512, 1024, 2048, 4096, 8192)
 
+# VMEM-resident scoring: the padded+phase-split grid must fit VMEM next to
+# the kernel's accumulator and the double-buffered output blocks.
+_VMEM_SCORE_BUDGET = 12 * 1024 * 1024
+
 
 def _next_bucket(n: int, quantum: int = 128) -> int:
     b = quantum
@@ -210,6 +214,7 @@ class CorrelativeScanMatcher:
         sanitize_covariance: bool = True,
         use_pallas: bool | None = None,
         use_patch: bool | None = None,
+        use_vmem_score: bool | None = None,
     ):
         self.config = config if config is not None else make_config(config_dict, loop)
         cfg = self.config
@@ -236,6 +241,13 @@ class CorrelativeScanMatcher:
         if use_patch is None:
             use_patch = pallas_available()
         self.use_patch = use_patch
+        # VMEM window-sum scorer (pallas_kernels.score_windows_pallas):
+        # replaces the serialized XLA window gathers (~2 us per gather
+        # start) with one dynamic VMEM block load per point — the scoring
+        # fast path whenever the subgrid fits the VMEM budget.
+        if use_vmem_score is None:
+            use_vmem_score = pallas_available() and np.dtype(dtype) == np.float32
+        self.use_vmem_score = use_vmem_score
         self._programs = {}
         self.library = DeviceScanLibrary(dtype)
 
@@ -329,6 +341,7 @@ class CorrelativeScanMatcher:
         Cpad = _round_up(S + 2 * h, 128)
         use_pallas = self.use_pallas
         use_patch = self.use_patch
+        use_vmem = self.use_vmem_score
         return_grid = self.return_meta
 
         coarse_spec = C.LatticeSpec.from_search(
@@ -370,7 +383,11 @@ class CorrelativeScanMatcher:
             )
             sox = sub[:, 0]
             soy = sub[:, 1]
-            occ = C.build_occupancy_padded(
+            occ_build = (
+                C.build_occupancy_pallas if use_vmem
+                else C.build_occupancy_padded
+            )
+            occ = occ_build(
                 wx, wy, keep, ox, oy, sox, soy,
                 G=G, S=S, h=h, Cpad=Cpad, res=res, dtype=dtype,
             )
@@ -396,7 +413,7 @@ class CorrelativeScanMatcher:
 
             common = dict(grid_size=G, grid_res=res, penalize=penalty,
                           dtype=dtype, sub_size=S)
-            if use_patch:
+            if use_vmem or use_patch:
                 q2d = C.quantize_grid(cgrid)
                 # Full-grid bounds mask: when a job's subgrid extends past
                 # the full grid's high edge (S > G, or sox + S > G in a
@@ -413,7 +430,25 @@ class CorrelativeScanMatcher:
                 q2d = q2d * (row_ok[:, :, None] & col_ok[:, None, :]).astype(
                     q2d.dtype
                 )
-                score = partial(C.score_lattice_patch_batched, q2d)
+
+                def score(*args, spec, **kw):
+                    # VMEM window-sum kernel when the (stride, NX, VMEM)
+                    # envelope allows; window-gather path otherwise
+                    stride = int(round(kw["xy_res"] / res))
+                    if use_vmem and stride in (1, 2) and spec.nx <= 128:
+                        _, _, _, _, qb = C.vmem_score_layout(S, spec, stride)
+                        if qb <= _VMEM_SCORE_BUDGET:
+                            return C.score_lattice_vmem_batched(
+                                q2d, *args, spec=spec, **kw)
+                    if use_patch:
+                        return C.score_lattice_patch_batched(
+                            q2d, *args, spec=spec, **kw)
+                    qflat = jnp.concatenate(
+                        [q2d.reshape(N, S * S),
+                         jnp.zeros((N, 1), dtype=dtype)], axis=1,
+                    )
+                    return C.score_lattice_batched(
+                        qflat, *args, spec=spec, **kw)
             else:
                 qflat = jnp.concatenate(
                     [

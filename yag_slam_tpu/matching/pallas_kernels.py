@@ -117,6 +117,183 @@ def smear_grid_xla(occ_padded, *, h: int, S: int, taps: tuple):
     return acc2  # (N, S, S)
 
 
+# ---------------------------------------------------------------------------
+# Window-sum lattice scorer.
+#
+# The lattice response raw[n,k,j,i] = sum_p q2d[y0[n,k,p] + s*j,
+# x0[n,k,p] + s*i] is, per (n,k,p), one (s*(NJ-1)+1, s*(NI-1)+1) window
+# read.  XLA's gather executes each window as a serialized slice
+# (~2-4 us per start on v5e — measured; 82k starts per pass = the round-1
+# bottleneck).  This kernel instead keeps the whole (phase-split) grid
+# resident in VMEM and accumulates ONE dynamic (ROWS_PAD, 128) block load
+# per point into a block accumulator; the row stride is applied once at
+# the end (sum-then-subsample == subsample-then-sum since the relative
+# row offsets are static), and the lane stride is pre-applied by storing
+# the grid lane-phase-split (stride 2) or raw (stride 1).  Per point this
+# is ~1 vector load + 1 add instead of a 2 us gather: measured >50x on
+# the lattice-scoring stage.
+#
+# Layout contract (producer = correlation.score_lattice_vmem_batched):
+#   q_stack: (N, RT, L) bf16 — the quantized grid, row-padded with zero
+#            margins so every clamped start reads in-bounds, lane-padded
+#            by >=128 zeros each side; for stride 2 the two lane phases
+#            are stacked along rows (even rows at [0, R), odd at [R, 2R)).
+#   row0/col0: (N, K, P) int32 — per-point top-left of the padded window
+#            (phase offset folded into row0 by the producer).
+# Output: (N, K, ROWS_PAD, 128) f32 block sums; the producer crops
+#   [..., 0 : s*NJ : s, :NI].
+# ---------------------------------------------------------------------------
+
+def _score_kernel(row_ref, col_ref, q_hbm, out_ref, q_vmem, sem, *,
+                  P, ROWS_PAD):
+    n = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        cp = pltpu.make_async_copy(q_hbm.at[n], q_vmem, sem)
+        cp.start()
+        cp.wait()
+
+    def pt(p, acc):
+        r0 = row_ref[0, k, p]
+        c0 = col_ref[0, k, p]
+        # Mosaic requires dynamic starts aligned to the (8, 128) tile;
+        # load aligned, rotate the misalignment away, crop.  Shifts are
+        # the positive modular equivalents: dynamic NEGATIVE row shifts
+        # miscompile on multi-sublane-tile blocks (observed on v5e).
+        r8 = pl.multiple_of((r0 // 8) * 8, 8)
+        c128 = pl.multiple_of((c0 // 128) * 128, 128)
+        blk = q_vmem[pl.ds(r8, ROWS_PAD + 8), pl.ds(c128, 256)]
+        # rotate only handles 32-bit lanes: cast the bf16 block up first
+        blk = blk.astype(jnp.float32)
+        blk = pltpu.roll(blk, (ROWS_PAD + 8) - (r0 - r8), 0)
+        blk = pltpu.roll(blk, 256 - (c0 - c128), 1)
+        return acc + blk[:ROWS_PAD, :128]
+
+    acc = jax.lax.fori_loop(
+        0, P, pt, jnp.zeros((ROWS_PAD, 128), jnp.float32)
+    )
+    out_ref[0, 0] = acc
+
+
+@partial(jax.jit, static_argnames=("ROWS_PAD", "interpret"))
+def score_windows_pallas(q_stack, row0, col0, *, ROWS_PAD: int,
+                         interpret: bool = False):
+    """Batched window-sum scoring.  q_stack (N, RT, L) bf16;
+    row0/col0 (N, K, P) int32 padded-window starts.  Returns
+    (N, K, ROWS_PAD, 128) f32 accumulated blocks."""
+    N, RT, L = q_stack.shape
+    _, K, P = row0.shape
+    kernel = partial(_score_kernel, P=P, ROWS_PAD=ROWS_PAD)
+    return pl.pallas_call(
+        kernel,
+        grid=(N, K),
+        in_specs=[
+            # SMEM blocks must keep the trailing two dims whole (the
+            # (8, 128) divisibility rule), so block the K axis whole and
+            # index row k inside the kernel
+            pl.BlockSpec((1, K, P), lambda n, k: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, P), lambda n, k: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            # ANY-space refs must be whole-array; the kernel DMAs the
+            # n-th grid into VMEM scratch once per n (grid is sequential,
+            # so the scratch persists across the K programs)
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, ROWS_PAD, 128), lambda n, k: (n, k, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, K, ROWS_PAD, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((RT, L), q_stack.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * K * P * ROWS_PAD * 128,
+            bytes_accessed=N * RT * L * 2 + N * K * P * ROWS_PAD * 128 * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(row0, col0, q_stack)
+
+
+# ---------------------------------------------------------------------------
+# Occupancy scatter.
+#
+# XLA lowers the 131k-index scatter-max of the grid build to a serialized
+# update loop (~0.25 us/point measured on v5e — 35 ms per 16-job batch).
+# Here each program owns one job's grid in VMEM, zero-fills it, and does
+# one (1, 1) dynamic store per point.  Invalid points are pre-pointed at a
+# dump cell in the column margin (columns >= S + 2h are never read by the
+# smear kernels).
+# ---------------------------------------------------------------------------
+
+def _scatter_kernel(sy_ref, sx_ref, out_hbm, occ_vmem, sem, *, M):
+    n = pl.program_id(0)
+    occ_vmem[...] = jnp.zeros_like(occ_vmem)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+    def pt(p, carry):
+        sy = sy_ref[0, 0, p]
+        sx = sx_ref[0, 0, p]
+        # dynamic stores must be (8, 128)-tile aligned: read-modify-write
+        # the aligned tile with a one-hot max
+        r8 = pl.multiple_of((sy // 8) * 8, 8)
+        c128 = pl.multiple_of((sx // 128) * 128, 128)
+        tile = occ_vmem[pl.ds(r8, 8), pl.ds(c128, 128)]
+        hit = (rr == sy - r8) & (cc == sx - c128)
+        occ_vmem[pl.ds(r8, 8), pl.ds(c128, 128)] = jnp.where(
+            hit, jnp.ones_like(tile), tile
+        )
+        return carry
+
+    jax.lax.fori_loop(0, M, pt, 0)
+    # the grid doesn't fit VMEM double-buffered as an output block; ship
+    # it to HBM manually from single-buffered scratch
+    cp = pltpu.make_async_copy(occ_vmem, out_hbm.at[n], sem)
+    cp.start()
+    cp.wait()
+
+
+@partial(jax.jit, static_argnames=("rows", "Cpad", "interpret"))
+def scatter_occupancy_pallas(sy, sx, *, rows: int, Cpad: int,
+                             interpret: bool = False):
+    """sy/sx: (N, M) int32 padded-layout cells (invalid -> dump cell).
+    Returns (N, rows, Cpad) bf16 occupancy indicators."""
+    N, M = sy.shape
+    # SMEM blocks must keep the trailing two dims whole; a unit middle
+    # axis satisfies the (8, 128)-or-whole rule
+    sy = sy.reshape(N, 1, M)
+    sx = sx.reshape(N, 1, M)
+    kernel = partial(_scatter_kernel, M=M)
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, 1, M), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, M), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((N, rows, Cpad), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((rows, Cpad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=N * (M + rows * Cpad),
+            bytes_accessed=N * rows * Cpad * 2 + N * M * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(sy, sx)
+
+
 def pallas_available() -> bool:
     """Mosaic lowering needs a real TPU backend (the axon tunnel reports
     platform 'tpu')."""
