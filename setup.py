@@ -28,6 +28,12 @@ setup(
             optional=True,
         ),
         Extension(
+            # The honest benchmark denominator (reference-equivalent CPU
+            # matcher).  -march=native is deliberate HERE AND ONLY HERE:
+            # this extension exists to measure the best the host CPU can
+            # do, so it should use every ISA feature the bench host has.
+            # Binaries are never committed (.gitignore) — each host builds
+            # its own via `python setup.py build_ext --inplace`.
             "yag_slam_tpu.native._refbaseline",
             sources=["yag_slam_tpu/native/refbaseline.cpp"],
             extra_compile_args=["-O3", "-std=c++17", "-march=native"],

@@ -424,3 +424,66 @@ def test_vmem_scorer_matches_gather_paths(stride):
     np.testing.assert_allclose(np.asarray(out_vmem), np.asarray(out_patch),
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(xv2), np.asarray(xv), atol=1e-12)
+
+
+def test_scatter_occupancy_pallas_matches_padded():
+    """build_occupancy_pallas (interpret mode on CPU) must agree with
+    build_occupancy_padded cell-for-cell, including invalid, masked and
+    out-of-grid points (ADVICE r2 / VERDICT r2 item 6)."""
+    G = 451
+    S = 512
+    h = 5
+    Cpad = ((S + 2 * h + 127) // 128) * 128
+    res = 0.01
+    N, B, P = 2, 2, 64
+    rng = np.random.default_rng(7)
+    # points spanning in-grid, out-of-grid and far-sentinel lanes
+    wx = rng.uniform(-1.0, 6.0, (N, B, P))
+    wy = rng.uniform(-1.0, 6.0, (N, B, P))
+    wx[:, :, -4:] = 1e9
+    wy[:, :, -4:] = 1e9
+    keep = rng.uniform(size=(N, B, P)) > 0.2
+    ox = np.array([0.0, -0.3])
+    oy = np.array([0.1, 0.0])
+    sox = np.array([0, 3], dtype=np.int32)
+    soy = np.array([2, 0], dtype=np.int32)
+
+    kw = dict(G=G, S=S, h=h, Cpad=Cpad, res=res, dtype=np.float64)
+    ref = np.asarray(C.build_occupancy_padded(
+        wx, wy, keep, ox, oy, sox, soy, **kw))
+    out = np.asarray(C.build_occupancy_pallas(
+        wx, wy, keep, ox, oy, sox, soy, interpret=True, **kw))
+    # the pallas path parks invalid points at the dump cell (0, Cpad-1):
+    # row 0 is outside every row the smear kernels read (see
+    # build_occupancy_pallas docstring), so compare the read region
+    # exactly and assert nothing else but the dump cell differs
+    np.testing.assert_array_equal(out[:, 1:, :], ref[:, 1:, :])
+    diff0 = out[:, 0, :] != ref[:, 0, :]
+    assert not diff0[:, : Cpad - 1].any()
+
+
+def test_smear_grid_pallas_matches_xla():
+    """smear_grid_pallas (interpret mode on CPU) must agree with the XLA
+    shifted-max chain on the same padded layout (VERDICT r2 item 6)."""
+    from yag_slam_tpu.matching.pallas_kernels import (
+        ROW_TILE, smear_grid_pallas, smear_grid_xla)
+
+    S = 256
+    taps = tuple(float(v) for v in C.gaussian_kernel_1d(0.01, 0.025))
+    h = (len(taps) - 1) // 2
+    Cpad = ((S + 2 * h + 127) // 128) * 128
+    N = 2
+    rng = np.random.default_rng(13)
+    occ = np.zeros((N, S + 2 * ROW_TILE, Cpad), dtype=np.float32)
+    # scatter occupied cells only where the layout contract puts them
+    # (rows [ROW_TILE, ROW_TILE + S), cols [h, h + S))
+    for n in range(N):
+        ys = rng.integers(ROW_TILE, ROW_TILE + S, 400)
+        xs = rng.integers(h, h + S, 400)
+        occ[n, ys, xs] = 1.0
+
+    assert h >= 1
+    ref = np.asarray(smear_grid_xla(jnp.asarray(occ), h=h, S=S, taps=taps))
+    out = np.asarray(smear_grid_pallas(jnp.asarray(occ), h=h, S=S,
+                                       taps=taps, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-6)

@@ -240,12 +240,17 @@ def build_occupancy_pallas(
     """Pallas twin of :func:`build_occupancy_padded`: same layout and
     bounds semantics, but the scatter runs as per-job VMEM stores instead
     of XLA's serialized scatter-max (~0.25 us/index on v5e).  Invalid
-    points are dumped at column Cpad-1, which is >= S + 2h and therefore
-    outside every column the smear kernels read."""
+    points are dumped at cell (0, Cpad-1).  ROW 0 is what makes the dump
+    safe: both smear paths read input rows in [ROW_TILE - h,
+    ROW_TILE + S + h) only, so row 0 is unread for any h < ROW_TILE
+    (asserted below; the column margin alone would NOT suffice when
+    Cpad == S + 2h — ADVICE r2)."""
     from yag_slam_tpu.matching.pallas_kernels import (
         ROW_TILE,
         scatter_occupancy_pallas,
     )
+
+    assert 0 <= h < ROW_TILE, h
 
     N = wx.shape[0]
     rows = S + 2 * ROW_TILE

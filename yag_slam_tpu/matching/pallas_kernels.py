@@ -60,8 +60,9 @@ def _smear_kernel(prev_ref, cur_ref, nxt_ref, out_ref, *, h, S, taps):
     out_ref[0, :, :] = acc2
 
 
-@partial(jax.jit, static_argnames=("h", "S", "taps"))
-def smear_grid_pallas(occ_padded, *, h: int, S: int, taps: tuple):
+@partial(jax.jit, static_argnames=("h", "S", "taps", "interpret"))
+def smear_grid_pallas(occ_padded, *, h: int, S: int, taps: tuple,
+                      interpret: bool = False):
     """Batched fused separable weighted max-dilation.
 
     occ_padded: (N, S + 2*ROW_TILE, Cpad) float32 per the layout contract.
@@ -95,6 +96,7 @@ def smear_grid_pallas(occ_padded, *, h: int, S: int, taps: tuple):
             bytes_accessed=N * S * S * 4 + N * rows * Cpad * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(occ_padded, occ_padded, occ_padded)
 
 

@@ -93,19 +93,14 @@ def refbaseline_match_scan(query, base_scans, config, penalty=True,
     qx = np.ascontiguousarray(qx, dtype=np.float64)
     qy = np.ascontiguousarray(qy, dtype=np.float64)
 
-    # np.arange length semantics for the two lattices
-    def _n(size, step):
-        return len(np.arange(-size, size, step))
-
-    nx_c = _n(search * 0.5, res * 2.0)
-    nt_c = _n(ang_size * 0.5, ang_res)
-    nx_f = _n(res * 2.0, res)
-    nt_f = _n(0.0349 * 0.5, 0.00349)
-
+    # lattice counts are derived inside the extension from the actual
+    # shifted endpoints per pass (np.arange length semantics — the float
+    # shift by the search center can change the count by one at exact
+    # multiples, and the fine pass centers on the coarse best pose)
     r, x, y, t, XX, YY, XY, TH = _refbaseline.match_scan(
         base_pts, qx, qy, cx, cy, ct, search, res, smear, rng_t,
         ang_size, ang_res, int(bool(penalty)), int(bool(do_fine)),
-        int(n_threads), nx_c, nx_c, nt_c, nx_f, nx_f, nt_f,
+        int(n_threads),
     )
     covar = np.array([[XX, XY, 0.0], [XY, YY, 0.0], [0.0, 0.0, TH]])
     return r, covar, (x, y, t)

@@ -118,12 +118,24 @@ struct BestPose {
 // find_best_pose semantics (helpers.py:156-295): score the (x, y, theta)
 // lattice (theta-parallel), first-max argmax in C order over (i, j, k),
 // tie-average within 1e-8, windowed second moments.
+// np.arange length semantics: ceil((stop - start) / step) in double, with
+// the *shifted* endpoints (-size + c, size + c) — the float shift by c can
+// change the count by one versus the center-0 form at exact multiples
+// (the reference builds its lattices at the real center,
+// /root/reference/yag_slam/helpers.py:177-179).
+inline long arange_len(double start, double stop, double step) {
+  const double n = std::ceil((stop - start) / step);
+  return n > 0.0 ? static_cast<long>(n) : 0L;
+}
+
 BestPose find_best_pose(const Grid& g, const double* ptsx, const double* ptsy,
                         Py_ssize_t npts, double cx, double cy, double ct,
                         double ox, double oy, double xy_search,
                         double xy_res, double ang_search, double ang_res,
-                        double grid_res, bool penalize, long nx, long ny,
-                        long nt, int n_threads) {
+                        double grid_res, bool penalize, int n_threads) {
+  const long nx = arange_len(cx - xy_search, cx + xy_search, xy_res);
+  const long ny = arange_len(cy - xy_search, cy + xy_search, xy_res);
+  const long nt = arange_len(ct - ang_search, ct + ang_search, ang_res);
   std::vector<double> xvals(nx), yvals(ny), tvals(nt);
   for (long i = 0; i < nx; ++i) xvals[i] = (cx - xy_search) + i * xy_res;
   for (long j = 0; j < ny; ++j) yvals[j] = (cy - xy_search) + j * xy_res;
@@ -256,11 +268,11 @@ BestPose find_best_pose(const Grid& g, const double* ptsx, const double* ptsy,
 
 // match_scan(base_pts, qx, qy, cx, cy, ct, search_size, resolution,
 //            smear_deviation, range_threshold, angle_size, angle_res,
-//            penalty, do_fine, n_threads,
-//            nx_c, ny_c, nt_c, nx_f, ny_f, nt_f)
+//            penalty, do_fine, n_threads)
 // base_pts: list of (wx_bytes_f64, wy_bytes_f64) world points per base scan.
-// qx, qy: query local points.  Lattice counts are passed in (np.arange
-// length semantics, computed by the Python wrapper).
+// qx, qy: query local points.  Lattice counts are derived per pass from
+// the actual search center (np.arange length semantics, see arange_len) —
+// including the fine pass, whose center is the coarse best pose.
 // Returns (response, x, y, t, XX, YY, XY, TH) after coarse (+ fine).
 PyObject* match_scan(PyObject*, PyObject* args) {
   PyObject* base_list;
@@ -268,12 +280,10 @@ PyObject* match_scan(PyObject*, PyObject* args) {
   double cx, cy, ct, search_size, resolution, smear, range_threshold;
   double angle_size, angle_res;
   int penalty, do_fine, n_threads;
-  long nx_c, ny_c, nt_c, nx_f, ny_f, nt_f;
-  if (!PyArg_ParseTuple(args, "Oy*y*dddddddddiiillllll", &base_list, &qxb,
+  if (!PyArg_ParseTuple(args, "Oy*y*dddddddddiii", &base_list, &qxb,
                         &qyb, &cx, &cy, &ct, &search_size, &resolution,
                         &smear, &range_threshold, &angle_size, &angle_res,
-                        &penalty, &do_fine, &n_threads, &nx_c, &ny_c, &nt_c,
-                        &nx_f, &ny_f, &nt_f)) {
+                        &penalty, &do_fine, &n_threads)) {
     return nullptr;
   }
 
@@ -336,14 +346,14 @@ PyObject* match_scan(PyObject*, PyObject* args) {
   // (scan_matching.py:204-207)
   bp = find_best_pose(g, qx, qy, nq, cx, cy, ct, ox, oy, search_size * 0.5,
                       resolution * 2.0, angle_size * 0.5, angle_res,
-                      resolution, penalty != 0, nx_c, ny_c, nt_c, n_threads);
+                      resolution, penalty != 0, n_threads);
   if (do_fine) {
     // fine: res*2 @ res, 0.0349*0.5 @ 0.00349 (scan_matching.py:210-212);
     // xy covariance kept from coarse, TH from fine
     BestPose f = find_best_pose(
         g, qx, qy, nq, bp.bx, bp.by, bp.bt, ox, oy, resolution * 2.0,
-        resolution, 0.0349 * 0.5, 0.00349, resolution, penalty != 0, nx_f,
-        ny_f, nt_f, n_threads);
+        resolution, 0.0349 * 0.5, 0.00349, resolution, penalty != 0,
+        n_threads);
     bp.response = f.response;
     bp.bx = f.bx;
     bp.by = f.by;
