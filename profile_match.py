@@ -150,9 +150,11 @@ def main():
         results["scatter_pallas_ms"] = t * 1000.0
         print(f"scatter pallas: {t*1000:8.2f} ms")
 
+    # NOTE: big arrays must be jit *arguments* — closed-over constants get
+    # embedded in the program and overflow the tunnel's request limit.
     occ = jax.block_until_ready(jax.jit(
-        lambda: C.build_occupancy_padded(wx, wy, keep, ox, oy, sox, soy,
-                                         **kw_occ))())
+        lambda wx_: C.build_occupancy_padded(wx_, wy, keep, ox, oy, sox, soy,
+                                             **kw_occ))(wx))
 
     # ---- stage 2: smear ------------------------------------------------------
     from yag_slam_tpu.matching.pallas_kernels import (
@@ -166,7 +168,7 @@ def main():
     results["smear_xla_ms"] = t * 1000.0
     print(f"smear XLA:      {t*1000:8.2f} ms")
 
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and S <= 1024:  # matcher's VMEM gate
         try:
             def smear_p(o, *rest):
                 g = smear_grid_pallas(o.astype(jnp.float32), h=h, S=S,
@@ -180,7 +182,7 @@ def main():
             print(f"smear pallas:   FAILED ({type(e).__name__}: {e})")
 
     cgrid = jax.block_until_ready(
-        jax.jit(lambda: smear_grid_xla(occ, h=h, S=S, taps=taps))())
+        jax.jit(lambda o: smear_grid_xla(o, h=h, S=S, taps=taps))(occ))
 
     # ---- stage 3: quantize + mask -------------------------------------------
     def quant(g, *rest):
@@ -264,7 +266,7 @@ def main():
 
     def red(o, *rest):
         r = jnp.stack(jax.vmap(C.reduce_best_pose)(o, xv, yv, tv), axis=1)
-        return o + r[:, 0][:, None, None] * 0
+        return o + r[:, 0][:, None, None, None] * 0
 
     t = timeit(scan_loop(red, R), (out_c,)) / R
     results["reduce_ms"] = t * 1000.0

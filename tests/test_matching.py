@@ -487,3 +487,48 @@ def test_smear_grid_pallas_matches_xla():
     out = np.asarray(smear_grid_pallas(jnp.asarray(occ), h=h, S=S,
                                        taps=taps, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=0, atol=1e-6)
+
+
+def test_fused_build_matches_staged_pipeline():
+    """build_quantized_grid_fused (interpret mode on CPU) must equal the
+    staged pipeline scatter -> separable max-smear -> quantize ->
+    full-grid bounds mask cell-for-cell, including out-of-grid, halo-band
+    and far-sentinel points (VERDICT r3: the fused kernel replaces three
+    kernels on the TPU hot path)."""
+    from yag_slam_tpu.matching.pallas_kernels import smear_grid_xla
+
+    G = 700
+    S = 512
+    res = 0.01
+    taps = tuple(float(v) for v in C.gaussian_kernel_1d(res, 0.025))
+    h = (len(taps) - 1) // 2
+    assert h >= 1
+    Cpad = ((S + 2 * h + 127) // 128) * 128
+    N, B, P = 2, 2, 128
+    rng = np.random.default_rng(11)
+    wx = rng.uniform(-1.0, 8.0, (N, B, P))
+    wy = rng.uniform(-1.0, 8.0, (N, B, P))
+    wx[:, :, -4:] = 1e9
+    wy[:, :, -4:] = 1e9
+    keep = rng.uniform(size=(N, B, P)) > 0.2
+    ox = np.array([0.0, -0.3])
+    oy = np.array([0.1, 0.0])
+    # second job's subgrid overhangs the full grid's high edge (sox + S > G)
+    # so the bounds mask actually fires
+    sox = np.array([0, G - S], dtype=np.int32)
+    soy = np.array([2, G - S], dtype=np.int32)
+
+    kw = dict(G=G, S=S, h=h, Cpad=Cpad, res=res)
+    occ = C.build_occupancy_padded(
+        wx, wy, keep, ox, oy, sox, soy, dtype=np.float32, **kw)
+    cgrid = smear_grid_xla(occ, h=h, S=S, taps=taps)
+    q = np.asarray(C.quantize_grid(cgrid))
+    lane = np.arange(S, dtype=np.int32)
+    col_ok = (lane[None, :] + sox[:, None]) < G
+    row_ok = (lane[None, :] + soy[:, None]) < G
+    ref = q * (row_ok[:, :, None] & col_ok[:, None, :])
+
+    out = np.asarray(C.build_quantized_grid_fused(
+        wx, wy, keep, ox, oy, sox, soy, taps=taps, interpret=True, **kw
+    ).astype(np.float32))
+    np.testing.assert_array_equal(out, ref)

@@ -30,6 +30,10 @@ def mp_outputs():
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env.pop("JAX_PLATFORM_NAME", None)
+    # the worker script's sys.path only gets tests/; make the repo root
+    # importable regardless of where pytest was launched from
+    repo_root = os.path.dirname(_HERE)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(_HERE, "mp_worker.py"),

@@ -24,13 +24,29 @@ def run_carmen(args):
 
     scans = load_carmen_log(args.carmen, max_scans=args.max_scans)
     print(f"loaded {len(scans)} scans from {args.carmen}")
+    seq_cfg = {"range_threshold": args.range_threshold}
+    loop_cfg = {"range_threshold": args.range_threshold}
+    if args.resolution is not None:
+        seq_cfg["resolution"] = args.resolution
+    if args.search_size is not None:
+        seq_cfg["search_size"] = args.search_size
+    if args.smear_deviation is not None:
+        seq_cfg["smear_deviation"] = args.smear_deviation
+    if args.loop_resolution is not None:
+        loop_cfg["resolution"] = args.loop_resolution
+    if args.loop_search_size is not None:
+        loop_cfg["search_size"] = args.loop_search_size
     mapper = OnlineMapper(
-        seq_config={"range_threshold": args.range_threshold},
-        loop_config={"range_threshold": args.range_threshold},
+        seq_config=seq_cfg,
+        loop_config=loop_cfg,
         min_distance=args.min_distance,
         min_rotation=args.min_rotation,
         range_threshold=args.range_threshold,
         map_resolution=args.map_resolution,
+        loop_search_distance=args.loop_search_distance,
+        loop_search_min_chain_size=args.loop_min_chain,
+        min_response_coarse=args.min_response_coarse,
+        min_response_fine=args.min_response_fine,
     )
     t0 = time.time()
     integrated_idx = []
@@ -108,6 +124,19 @@ def main(argv=None):
     ap.add_argument("--min-distance", type=float, default=0.5)
     ap.add_argument("--min-rotation", type=float, default=0.5)
     ap.add_argument("--map-resolution", type=float, default=0.05)
+    # matcher grid overrides (None -> reference-node defaults,
+    # apps/online.DEFAULT_SEQ_CONFIG / DEFAULT_LOOP_CONFIG)
+    ap.add_argument("--resolution", type=float, default=None)
+    ap.add_argument("--smear-deviation", type=float, default=None)
+    ap.add_argument("--search-size", type=float, default=None)
+    ap.add_argument("--loop-resolution", type=float, default=None)
+    ap.add_argument("--loop-search-size", type=float, default=None)
+    ap.add_argument("--loop-search-distance", type=float, default=4.0)
+    ap.add_argument("--loop-min-chain", type=int, default=10)
+    ap.add_argument("--min-response-coarse", type=float, default=0.6)
+    ap.add_argument("--min-response-fine", type=float, default=0.7)
+    ap.add_argument("--no-map-image", action="store_true",
+                    help="skip the PNG render (benchmark runs)")
     args = ap.parse_args(argv)
 
     if args.carmen:
@@ -120,25 +149,26 @@ def main(argv=None):
     graph_path = mapper.save_graph(args.out + ".graph")
     print("saved graph:", graph_path)
 
-    ros_img, grid = mapper.render_map()
-    png_path = args.out + ".png"
-    try:
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        plt.imsave(png_path, grid.image[::-1], cmap="gray", vmin=0, vmax=255)
-        print("saved map image:", png_path)
-    except Exception as e:  # pragma: no cover
-        print("map image not saved:", e)
-
     summary = {
         "vertices": len(mapper.slam.graph.vertices),
         "edges": len(mapper.slam.graph.edges),
         "loop_closures": mapper.slam.stats["loop_closures"],
-        "map_size": [grid.width, grid.height],
     }
+    if not args.no_map_image:
+        ros_img, grid = mapper.render_map()
+        png_path = args.out + ".png"
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.imsave(png_path, grid.image[::-1], cmap="gray", vmin=0,
+                       vmax=255)
+            print("saved map image:", png_path)
+        except Exception as e:  # pragma: no cover
+            print("map image not saved:", e)
+        summary["map_size"] = [grid.width, grid.height]
     if gt is not None:
         from yag_slam_tpu.utils.metrics import ate_rmse, trajectory_from_slam
 

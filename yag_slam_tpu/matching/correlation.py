@@ -270,6 +270,36 @@ def build_occupancy_pallas(
     return occ.astype(dtype)
 
 
+def build_quantized_grid_fused(
+    wx, wy, keep, ox, oy, sox, soy, *, G, S, h, Cpad, res, taps,
+    interpret=False,
+):
+    """One-kernel grid build: scatter + smear + quantize + full-grid bounds
+    mask (pallas_kernels.build_grid_fused).  Semantically equal to
+    build_occupancy_padded -> smear -> quantize_grid -> (row_ok & col_ok)
+    masking; returns (N, S, S) bfloat16 quantized subgrids (integer values
+    in [0, 100], exact in bf16)."""
+    from yag_slam_tpu.matching.pallas_kernels import build_grid_fused, _round_up
+
+    N = wx.shape[0]
+    R0 = _round_up(S + 2 * h + 1, 8) + 8
+    gx = world_to_grid_idx(wx, ox[:, None, None], res)
+    gy = world_to_grid_idx(wy, oy[:, None, None], res)
+    inb = (gx >= 0) & (gx < G) & (gy >= 0) & (gy < G) & keep
+    sx = gx - sox[:, None, None] + h
+    sy = gy - soy[:, None, None] + h
+    # scratch rows [h, S+h) / cols [h, S+h) hold the subgrid; anything the
+    # caller's subgrid selection missed is dumped at the unread cell
+    ok = inb & (sx >= 0) & (sx < Cpad) & (sy >= 0) & (sy < S + 2 * h)
+    sy = jnp.where(ok, sy, R0 - 1).reshape(N, -1).astype(jnp.int32)
+    sx = jnp.where(ok, sx, Cpad - 1).reshape(N, -1).astype(jnp.int32)
+    lim = jnp.stack(
+        [G - soy.astype(jnp.int32), G - sox.astype(jnp.int32)], axis=1
+    )
+    return build_grid_fused(sy, sx, lim, S=S, h=h, taps=taps, Cpad=Cpad,
+                            interpret=interpret)
+
+
 # ---------------------------------------------------------------------------
 # Candidate-lattice scoring + best-pose reduction
 # ---------------------------------------------------------------------------
@@ -756,7 +786,13 @@ def reduce_best_pose(out, xvals, yvals, tvals):
     ii = m // (NY * NT)
     jj = (m % (NY * NT)) // NT
     kk = m % NT
-    response = flat[m]
+    # max-reduce, NOT flat[m]: semantically identical (the argmax element
+    # is the max; `out` is NaN-free by construction), but the dynamic
+    # gather at the argmax index miscompiled on XLA:CPU inside the large
+    # fused f32 match program (observed: flat[m] fed a tie-comparison that
+    # came back empty -> 0/0 -> NaN response), while the plain reduction
+    # is robust and cheaper.
+    response = jnp.max(flat)
 
     ties = out >= response - 1e-8
     nties = jnp.sum(ties)

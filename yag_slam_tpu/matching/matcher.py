@@ -62,7 +62,12 @@ _EXPANSION_TRIES = 3
 
 _VIEW_KEYS = ("lx", "ly", "anchor", "term", "has_run")
 
-_SUB_BUCKETS = (512, 1024, 2048, 4096, 8192)
+# Multiples of 256 (the smear strips want S % 128 == 0; the stride-2 VMEM
+# scorer phase-split wants S % 2 == 0).  Finer buckets matter: every grid
+# stage scales with S^2, and the jump 1024 -> 2048 alone is 4x work for a
+# 1025-cell span.  Each distinct S compiles its own program (cached).
+_SUB_BUCKETS = (512, 768, 1024, 1280, 1536, 1792, 2048, 2560, 3072, 4096,
+                8192)
 
 # VMEM-resident scoring: the padded+phase-split grid must fit VMEM next to
 # the kernel's accumulator and the double-buffered output blocks.
@@ -72,6 +77,11 @@ _VMEM_SCORE_BUDGET = 12 * 1024 * 1024
 # single VMEM scratch buffer in scatter_occupancy_pallas; stay inside the
 # ~16 MB scoped-VMEM budget with headroom for the index SMEM blocks.
 _VMEM_SCATTER_BUDGET = 12 * 1024 * 1024
+
+# Fused grid build (scatter + smear + quantize in one kernel): gate on its
+# occupancy scratch + strip temporaries (pallas_kernels.
+# fused_build_vmem_bytes) against the 16 MB scoped-VMEM limit.
+_VMEM_BUILD_BUDGET = 15 * 1024 * 1024
 
 
 def _next_bucket(n: int, quantum: int = 128) -> int:
@@ -437,35 +447,61 @@ class CorrelativeScanMatcher:
             )
             sox = sub[:, 0]
             soy = sub[:, 1]
-            # The scatter kernel holds one job's whole (S + 2*ROW_TILE,
-            # Cpad) grid as a single bf16 VMEM scratch buffer; past the
-            # scoped-VMEM budget Mosaic compilation fails at runtime
-            # (ADVICE r2), so big subgrids take the XLA scatter instead.
-            scatter_scratch = (S + 256) * Cpad * 2
-            occ_build = (
-                C.build_occupancy_pallas
-                if use_vmem and scatter_scratch <= _VMEM_SCATTER_BUDGET
-                else C.build_occupancy_padded
-            )
-            occ = occ_build(
-                wx, wy, keep, ox, oy, sox, soy,
-                G=G, S=S, h=h, Cpad=Cpad, res=res, dtype=dtype,
-            )
             taps = tuple(float(v) for v in k1)
-            # Mosaic/XLA promotes the kernel result to VMEM; beyond ~1024^2
-            # (4 MB) that promotion overflows the 16 MB scoped-VMEM budget,
-            # so large subgrids take the XLA shifted-max chain instead.
-            if use_pallas and S <= 1024:
-                from yag_slam_tpu.matching.pallas_kernels import smear_grid_pallas
+            from yag_slam_tpu.matching.pallas_kernels import (
+                fused_build_vmem_bytes,
+            )
 
-                cgrid = smear_grid_pallas(
-                    occ.astype(jnp.float32), h=h, S=S, taps=taps
-                ).astype(dtype)
+            # Fused grid build (scatter + smear + quantize + bounds mask in
+            # one VMEM-resident kernel) whenever its scratch fits; it does
+            # not materialize the unquantized cgrid, so the opt-in meta
+            # path keeps the staged build.
+            use_fused = (
+                use_vmem
+                and not return_grid
+                and h >= 1
+                and fused_build_vmem_bytes(S, h, Cpad) <= _VMEM_BUILD_BUDGET
+            )
+            cgrid = None
+            if use_fused:
+                q2d16 = C.build_quantized_grid_fused(
+                    wx, wy, keep, ox, oy, sox, soy,
+                    G=G, S=S, h=h, Cpad=Cpad, res=res, taps=taps,
+                )
             else:
-                from yag_slam_tpu.matching.pallas_kernels import smear_grid_xla
+                # The scatter kernel holds one job's whole (S + 2*ROW_TILE,
+                # Cpad) grid as a single bf16 VMEM scratch buffer; past the
+                # scoped-VMEM budget Mosaic compilation fails at runtime
+                # (ADVICE r2), so big subgrids take the XLA scatter instead.
+                scatter_scratch = (S + 256) * Cpad * 2
+                occ_build = (
+                    C.build_occupancy_pallas
+                    if use_vmem and scatter_scratch <= _VMEM_SCATTER_BUDGET
+                    else C.build_occupancy_padded
+                )
+                occ = occ_build(
+                    wx, wy, keep, ox, oy, sox, soy,
+                    G=G, S=S, h=h, Cpad=Cpad, res=res, dtype=dtype,
+                )
+                # Mosaic/XLA promotes the kernel result to VMEM; beyond
+                # ~1024^2 (4 MB) that promotion overflows the 16 MB
+                # scoped-VMEM budget, so large subgrids take the XLA
+                # shifted-max chain instead.
+                if use_pallas and S <= 1024:
+                    from yag_slam_tpu.matching.pallas_kernels import (
+                        smear_grid_pallas,
+                    )
 
-                cgrid = smear_grid_xla(occ, h=h, S=S, taps=taps)
-            N = cgrid.shape[0]
+                    cgrid = smear_grid_pallas(
+                        occ.astype(jnp.float32), h=h, S=S, taps=taps
+                    ).astype(dtype)
+                else:
+                    from yag_slam_tpu.matching.pallas_kernels import (
+                        smear_grid_xla,
+                    )
+
+                    cgrid = smear_grid_xla(occ, h=h, S=S, taps=taps)
+            N = wx.shape[0]
             lane = jnp.arange(P)
             qx = jnp.where(lane[None, :] < n_q[:, None], qlx, _FAR)
             qy = jnp.where(lane[None, :] < n_q[:, None], qly, _FAR)
@@ -473,7 +509,14 @@ class CorrelativeScanMatcher:
 
             common = dict(grid_size=G, grid_res=res, penalize=penalty,
                           dtype=dtype, sub_size=S)
-            if use_vmem or use_patch:
+            if use_fused:
+                # bf16 carries the integer values [0, 100] exactly; paths
+                # that accumulate in the grid dtype get a widened view
+                # (dead code XLA removes when both passes take the VMEM
+                # scorer, which consumes the bf16 grid directly)
+                q_vm = q2d16
+                q2d = q2d16.astype(dtype)
+            elif use_vmem or use_patch:
                 q2d = C.quantize_grid(cgrid)
                 # Full-grid bounds mask: when a job's subgrid extends past
                 # the full grid's high edge (S > G, or sox + S > G in a
@@ -490,7 +533,9 @@ class CorrelativeScanMatcher:
                 q2d = q2d * (row_ok[:, :, None] & col_ok[:, None, :]).astype(
                     q2d.dtype
                 )
+                q_vm = q2d
 
+            if use_fused or use_vmem or use_patch:
                 def score(*args, spec, **kw):
                     # VMEM window-sum kernel when the (stride, NX, VMEM)
                     # envelope allows; window-gather path otherwise
@@ -499,7 +544,7 @@ class CorrelativeScanMatcher:
                         _, _, _, _, qb = C.vmem_score_layout(S, spec, stride)
                         if qb <= _VMEM_SCORE_BUDGET:
                             return C.score_lattice_vmem_batched(
-                                q2d, *args, spec=spec, **kw)
+                                q_vm, *args, spec=spec, **kw)
                     if use_patch:
                         return C.score_lattice_patch_batched(
                             q2d, *args, spec=spec, **kw)
@@ -541,7 +586,10 @@ class CorrelativeScanMatcher:
                 )
             else:
                 fine = coarse
-            outs = (coarse, fine)
+            # one packed output array => ONE device->host transfer per
+            # dispatch (the transfer has flat ~25 ms latency over a
+            # tunneled TPU; two fetches would double it)
+            outs = (jnp.stack([coarse, fine], axis=1),)  # (N, 2, 8)
             if return_grid:
                 outs = outs + (cgrid,)
             return outs
@@ -612,6 +660,7 @@ class CorrelativeScanMatcher:
         prog = self._program(P, B, bool(penalty), bool(do_fine),
                              self.config.coarse_search_angle_offset, S)
         outs = prog(self.library.fields, *args)
+        outs[0].copy_to_host_async()  # overlap readback with what follows
         return _MatchHandle(self, outs, args, P, B, penalty, do_fine, S)
 
     def _expansion_retries(self, args, P, B, penalty, do_fine, S):
@@ -628,7 +677,8 @@ class CorrelativeScanMatcher:
             prog = self._program(P, B, bool(penalty), bool(do_fine),
                                  coarse_offset, S)
             outs = prog(self.library.fields, *args)
-            coarse, fine = np.asarray(outs[0][0]), np.asarray(outs[1][0])
+            packed = np.asarray(outs[0][0])
+            coarse, fine = packed[0], packed[1]
             if float(coarse[0]) > 0.0:
                 break
         return coarse, fine, outs
@@ -639,7 +689,8 @@ class CorrelativeScanMatcher:
         Expansion triggers on the *coarse* correlation response, as in
         Karto's MatchScan (the fine response can legitimately be <= 0
         through the unclamped penalty even after a good recovery)."""
-        coarse, fine = np.asarray(outs[0][0]), np.asarray(outs[1][0])
+        packed = np.asarray(outs[0][0])
+        coarse, fine = packed[0], packed[1]
         if float(coarse[0]) <= 0.0 and self.config.use_response_expansion:
             c2, f2, o2 = self._expansion_retries(
                 args, P, B, penalty, do_fine, S
@@ -672,7 +723,8 @@ class CorrelativeScanMatcher:
         )
         outs = prog(self.library.fields, idx, mask, pose, q_idx, center,
                     center[:, :2], sub)
-        coarse, fine = np.asarray(outs[0]), np.asarray(outs[1])
+        packed = np.asarray(outs[0])
+        coarse, fine = packed[:, 0], packed[:, 1]
 
         results = []
         for j, (query, base_scans) in enumerate(jobs):
@@ -699,8 +751,8 @@ class CorrelativeScanMatcher:
         if self.sanitize_covariance:
             covar = self._sanitize_covariance(covar)
         meta = None
-        if self.return_meta and outs is not None and len(outs) > 2:
-            meta = {"grid": np.asarray(outs[2][0]),
+        if self.return_meta and outs is not None and len(outs) > 1:
+            meta = {"grid": np.asarray(outs[1][0]),
                     "kernel": np.outer(self._k1, self._k1)}
         return ScanMatcherResult(
             response, covar, Transform.from_position_euler(x, y, 0, 0, 0, t), meta
@@ -760,8 +812,8 @@ class CorrelativeScanMatcher:
         )
         outs = prog(self.library.fields, idx, mask, pose, q_ref, center, vp,
                     sub)
-        coarse, fine = np.asarray(outs[0][0]), np.asarray(outs[1][0])
-        return self._assemble(coarse, fine, do_fine, outs)
+        packed = np.asarray(outs[0][0])
+        return self._assemble(packed[0], packed[1], do_fine, outs)
 
     def match_scan_sets(self, query_scans, base_scans, penalty=True, do_fine=True):
         """Rigidly match a set of query scans against base scans — the

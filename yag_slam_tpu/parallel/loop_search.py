@@ -53,11 +53,8 @@ class ShardedLoopMatcher:
             # replicated: every process can read it with plain np.asarray
             # even under multi-process jax.distributed (sharded outputs
             # are not fully addressable from one host).
-            coarse, fine = core(*args)[:2]
-            return (
-                jax.lax.all_gather(coarse, axis, axis=0, tiled=True),
-                jax.lax.all_gather(fine, axis, axis=0, tiled=True),
-            )
+            packed = core(*args)[0]  # (N_local, 2, 8): [coarse, fine]
+            return jax.lax.all_gather(packed, axis, axis=0, tiled=True)
 
         rep = P()
         spec = P(self.axis)
@@ -65,7 +62,7 @@ class ShardedLoopMatcher:
             core_gathered,
             mesh=self.mesh,
             in_specs=(rep, spec, spec, spec, spec, spec, spec, spec),
-            out_specs=(rep, rep),
+            out_specs=rep,
             # the tiled all_gather makes the outputs replicated, but vma
             # inference can't prove it through the gather; skip the check
             check_vma=False,
@@ -107,8 +104,9 @@ class ShardedLoopMatcher:
                 jax.device_put(np.asarray(a), shd)
                 for a in (idx, mask, pose, q_idx, center, vp, sub)
             )
-        outs = prog(fields, idx, mask, pose, q_idx, center, vp, sub)
-        coarse, fine = np.asarray(outs[0]), np.asarray(outs[1])
+        packed = np.asarray(prog(fields, idx, mask, pose, q_idx, center, vp,
+                                 sub))
+        coarse, fine = packed[:, 0], packed[:, 1]
 
         return [
             m._assemble(coarse[j], fine[j], do_fine, None) for j in range(N)
