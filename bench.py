@@ -15,9 +15,11 @@ caching can flatter the numbers.
 
 Primary value = batched throughput (`match_many` dispatches — the
 loop-closure / offline path where chip throughput is the question);
-`single_stream` reports the online path (pipelined one-deep: dispatch of
-match N+1 overlaps readback of match N; each result still blocks before
-use, matching an online mapper's scan pipeline).
+`single_stream` reports the online path run the TPU-native way: the
+device-chained sequential pipeline (matching/pipeline.py) in which match
+N's corrected pose feeds match N+1's search center ON DEVICE and results
+are fetched in lagged blocks; `single_stream_lockstep` is the naive loop
+that blocks on every result (bounded by the ~28 ms tunnel round trip).
 
 Baseline (`vs_baseline`): the reference algorithm as optimized
 multithreaded C++ on this host's CPU (native/refbaseline.cpp — same grid
@@ -77,8 +79,29 @@ def bench_device(scans):
         [(scans[N_BASE + 1], scans[1 : N_BASE + 1])] * BATCH, True, True
     )
 
-    # single-stream online path, distinct inputs, pipelined one-deep:
-    # the dispatch of match i overlaps the readback of match i-1 (jax
+    # single-stream online path: the DEVICE-CHAINED sequential pipeline
+    # (matching/pipeline.py) — scan k's corrected pose feeds scan k+1's
+    # search center on device, so the host only dispatches; results are
+    # fetched in blocks of sync_every.  This is the genuinely sequential
+    # workload (every match depends on the previous one's pose), run the
+    # TPU-native way.  `single_stream_lockstep` below reports the naive
+    # loop that blocks on every match (what a line-by-line port would do;
+    # bounded by the ~28 ms tunnel round trip).
+    from yag_slam_tpu.matching.pipeline import OnlineMatchPipeline
+
+    stream = scans[: N_BASE + 60]
+    pipe = OnlineMatchPipeline(m, window=N_BASE, sync_every=8)
+    pipe.seed(stream[:N_BASE])
+    pipe.push(stream[N_BASE])       # warm the chained program compile
+    pipe.flush()
+    t0 = time.time()
+    for s in stream[N_BASE + 1:]:
+        pipe.push(s)
+    n_done = len(pipe.flush())
+    single_rate = n_done / (time.time() - t0)
+
+    # lockstep online path, distinct inputs, pipelined one-deep: the
+    # dispatch of match i overlaps the readback of match i-1 (jax
     # dispatch is async; only the result fetch blocks).
     jobs = [
         (scans[i], scans[i - N_BASE : i])
@@ -92,9 +115,12 @@ def bench_device(scans):
             pending.result()
         pending = h
     pending.result()
-    single_rate = len(jobs) / (time.time() - t0)
+    lockstep_rate = len(jobs) / (time.time() - t0)
 
-    # batched throughput, distinct inputs
+    # batched throughput, distinct inputs; batches pipelined one-deep so
+    # batch N's device time + tunnel readback overlaps batch N+1's host
+    # assembly + dispatch (independent jobs — the loop-closure / offline
+    # fan-out has no cross-batch dependency)
     jobs = [
         (scans[i], scans[i - N_BASE : i])
         for i in range(N_BASE, len(scans) - 1)
@@ -102,12 +128,17 @@ def bench_device(scans):
     n_batches = max(1, len(jobs) // BATCH)
     t0 = time.time()
     done = 0
+    pending = None
     for bi in range(n_batches):
         chunk = jobs[bi * BATCH : (bi + 1) * BATCH]
-        m.match_many(chunk, True, True)
+        h = m.match_many_async(chunk, True, True)
+        if pending is not None:
+            pending.result()
+        pending = h
         done += len(chunk)
+    pending.result()
     batched_rate = done / (time.time() - t0)
-    return single_rate, batched_rate, res
+    return single_rate, lockstep_rate, batched_rate, res
 
 
 def bench_reference_native(scans, seconds=20.0, range_threshold=None):
@@ -187,7 +218,7 @@ def main():
     import jax
 
     scans = build_stream()
-    single_rate, batched_rate, res = bench_device(scans)
+    single_rate, lockstep_rate, batched_rate, res = bench_device(scans)
     try:
         spa_time, spa_nodes = bench_spa()
     except Exception:
@@ -212,6 +243,7 @@ def main():
             round(value / baseline, 2) if baseline == baseline else None
         ),
         "single_stream": round(single_rate, 2),
+        "single_stream_lockstep": round(lockstep_rate, 2),
         "batched": round(batched_rate, 2),
         "baseline_cpu_native": (
             round(baseline, 3) if baseline == baseline else None

@@ -150,6 +150,23 @@ def main():
         results["scatter_pallas_ms"] = t * 1000.0
         print(f"scatter pallas: {t*1000:8.2f} ms")
 
+    if m.use_vmem_score:
+        from yag_slam_tpu.matching.pallas_kernels import fused_build_vmem_bytes
+        fb = fused_build_vmem_bytes(S, h, Cpad)
+        try:
+            def build_fused(wx_, *rest):
+                g = C.build_quantized_grid_fused(
+                    wx_, wy, keep, ox, oy, sox, soy,
+                    G=G, S=S, h=h, Cpad=Cpad, res=res, taps=taps)
+                return wx_ + g[:, 0, 0][:, None, None].astype(wx_.dtype) * 0
+
+            t = timeit(scan_loop(build_fused, R), (wx,)) / R
+            results["build_fused_ms"] = t * 1000.0
+            print(f"build fused:    {t*1000:8.2f} ms (scratch {fb/1e6:.1f} MB)")
+        except Exception as e:
+            print(f"build fused:    FAILED scratch {fb/1e6:.1f} MB "
+                  f"({type(e).__name__}: {e})")
+
     # NOTE: big arrays must be jit *arguments* — closed-over constants get
     # embedded in the program and overflow the tunnel's request limit.
     occ = jax.block_until_ready(jax.jit(
@@ -242,19 +259,37 @@ def main():
 
         _, _, _, _, qb = C.vmem_score_layout(S, spec, stride)
         if m.use_vmem_score and spec.nx <= 128:
+            for label, hy in (("hyb", True), ("roll", False)):
+                try:
+                    def sc_vmem(q, *rest, _hy=hy):
+                        out, xv, yv, tv = C.score_lattice_vmem_batched(
+                            q, qx, qy, n_pts, cx, cy, ct, ox, oy, sox, soy,
+                            hybrid=_hy, **kw)
+                        return q + out[:, 0, 0, 0][:, None, None] * 0
+
+                    t = timeit(scan_loop(sc_vmem, R), (q2d,)) / R
+                    results[f"score_{name}_{label}_ms"] = t * 1000.0
+                    print(f"score {name:6s} {label:5s}: {t*1000:8.2f} ms "
+                          f"(q_stack {qb/1e6:.1f} MB)")
+                except Exception as e:
+                    print(f"score {name:6s} {label:5s}: FAILED q_stack "
+                          f"{qb/1e6:.1f} MB ({type(e).__name__})")
+
+        *_, qb2 = C.mxu_score_layout(S, spec, stride)
+        if m.use_vmem_score and spec.nx <= 128:
             try:
-                def sc_vmem(q, *rest):
-                    out, xv, yv, tv = C.score_lattice_vmem_batched(
+                def sc_mxu(q, *rest):
+                    out, xv, yv, tv = C.score_lattice_mxu_batched(
                         q, qx, qy, n_pts, cx, cy, ct, ox, oy, sox, soy, **kw)
                     return q + out[:, 0, 0, 0][:, None, None] * 0
 
-                t = timeit(scan_loop(sc_vmem, R), (q2d,)) / R
-                results[f"score_{name}_vmem_ms"] = t * 1000.0
-                print(f"score {name:6s} vmem:  {t*1000:8.2f} ms "
-                      f"(q_stack {qb/1e6:.1f} MB)")
+                t = timeit(scan_loop(sc_mxu, R), (q2d,)) / R
+                results[f"score_{name}_mxu_ms"] = t * 1000.0
+                print(f"score {name:6s} mxu:   {t*1000:8.2f} ms "
+                      f"(q_stack {qb2/1e6:.1f} MB)")
             except Exception as e:
-                print(f"score {name:6s} vmem:  FAILED q_stack {qb/1e6:.1f} MB "
-                      f"({type(e).__name__})")
+                print(f"score {name:6s} mxu:   FAILED q_stack {qb2/1e6:.1f} MB "
+                      f"({type(e).__name__}: {e})")
 
     # ---- stage 5: reduction ---------------------------------------------------
     out_c = jax.block_until_ready(jax.jit(

@@ -380,7 +380,8 @@ def test_response_expansion_recovers_rotated_query():
 
 
 @pytest.mark.parametrize("stride", [1, 2])
-def test_vmem_scorer_matches_gather_paths(stride):
+@pytest.mark.parametrize("hybrid", [True, False])
+def test_vmem_scorer_matches_gather_paths(stride, hybrid):
     """The Pallas VMEM window-sum scorer (interpret mode on CPU) must agree
     cell-for-cell with both gather paths, including windows that overhang
     every grid edge and fully out-of-range points."""
@@ -419,9 +420,57 @@ def test_vmem_scorer_matches_gather_paths(stride):
         q2d, px, py, n_pts, cx, cy, ct, ox, oy, sox, soy, **kw)
     out_vmem, xv2, yv2, tv2 = C.score_lattice_vmem_batched(
         q2d, px, py, n_pts, cx, cy, ct, ox, oy, sox, soy,
-        interpret=True, **kw)
+        interpret=True, hybrid=hybrid, **kw)
 
     np.testing.assert_allclose(np.asarray(out_vmem), np.asarray(out_patch),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(xv2), np.asarray(xv), atol=1e-12)
+
+
+@pytest.mark.parametrize("stride", [1, 2, 3])
+def test_mxu_scorer_matches_gather_paths(stride):
+    """The Pallas MXU one-hot-contraction scorer (interpret mode on CPU)
+    must agree cell-for-cell with the window-gather path, including
+    windows overhanging every grid edge, fully out-of-range points and
+    per-job point counts (the kernel's dynamic loop bound)."""
+    dtype = np.float64
+    G = 451
+    S = 512
+    N = 2
+    res = 0.01
+    xy_res = res * stride
+    spec = C.LatticeSpec.from_search(0.0, 0.0, 0.0, 12.5 * xy_res, xy_res,
+                                     0.1745, 0.0349)
+    rng = np.random.default_rng(11)
+    q2d = np.floor(rng.uniform(0, 100, (N, S, S))).astype(dtype)
+    q2d[:, G:, :] = 0.0   # the matcher's full-grid mask
+    q2d[:, :, G:] = 0.0
+
+    P = 96
+    px = rng.uniform(-1.0, 6.0, (N, P)).astype(dtype)
+    py = rng.uniform(-1.0, 6.0, (N, P)).astype(dtype)
+    # distinct true point counts per job; lanes beyond are FAR sentinels
+    n = np.array([P - 8, P - 23])
+    for j in range(N):
+        px[j, n[j]:] = 1e9
+        py[j, n[j]:] = 1e9
+    n_pts = n.astype(dtype)
+    cx = np.array([0.3, 4.2], dtype=dtype)
+    cy = np.array([0.2, 4.4], dtype=dtype)
+    ct = np.array([0.0, 0.4], dtype=dtype)
+    ox = oy = np.zeros(N, dtype=dtype)
+    sox = soy = np.zeros(N, dtype=np.int32)
+
+    kw = dict(spec=spec, xy_size=12.5 * xy_res, xy_res=xy_res,
+              ang_size=0.1745, ang_res=0.0349, grid_size=G, grid_res=res,
+              sub_size=S, penalize=True, dtype=dtype)
+    out_patch, xv, yv, tv = C.score_lattice_patch_batched(
+        q2d, px, py, n_pts, cx, cy, ct, ox, oy, sox, soy, **kw)
+    out_mxu, xv2, yv2, tv2 = C.score_lattice_mxu_batched(
+        q2d, px, py, n_pts, cx, cy, ct, ox, oy, sox, soy,
+        interpret=True, **kw)
+
+    np.testing.assert_allclose(np.asarray(out_mxu), np.asarray(out_patch),
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(xv2), np.asarray(xv), atol=1e-12)
 

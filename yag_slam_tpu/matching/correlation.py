@@ -680,18 +680,25 @@ def score_lattice_vmem_batched(
     dist_var_penalty: float = 0.5,
     ang_var_penalty: float = 1.0,
     interpret: bool = False,
+    hybrid: bool = True,
 ):
-    """Lattice scoring via the VMEM-resident Pallas window-sum kernel (the
-    TPU fast path; pallas_kernels.score_windows_pallas documents the cost
-    model).  Index math is identical to :func:`score_lattice_patch_batched`
-    (round once at the lattice origin, walk integer strides), so the two
-    paths agree cell-for-cell; values are integers <= 100 so the bf16
-    grid + f32 accumulation are exact.
+    """Lattice scoring via the VMEM-resident Pallas window-sum kernels
+    (the TPU fast path).  Index math is identical to
+    :func:`score_lattice_patch_batched` (round once at the lattice
+    origin, walk integer strides), so the paths agree cell-for-cell;
+    values are integers <= 100 so the bf16 grid + f32 accumulation are
+    exact.
+
+    hybrid=True uses pallas_kernels.score_windows_hybrid_pallas (rowsel
+    matmul on the MXU + lane roll — the fast kernel); hybrid=False keeps
+    the original double-roll kernel (score_windows_pallas).  Both share
+    this producer's phase-split layout.
 
     Supports stride = xy_res/grid_res in {1, 2} and NX <= 128; callers
     gate on :func:`vmem_score_layout` for the VMEM budget.
     """
-    from yag_slam_tpu.matching.pallas_kernels import score_windows_pallas
+    from yag_slam_tpu.matching.pallas_kernels import (
+        score_windows_hybrid_pallas, score_windows_pallas)
 
     NX, NY, NT = spec
     N, S, _ = qgrid2d.shape
@@ -745,11 +752,120 @@ def score_lattice_vmem_batched(
         col0 = jnp.clip(sgx0, -128, S) + 128
         row0 = y0
 
-    acc = score_windows_pallas(
+    n_int = jnp.round(n_pts).astype(jnp.int32)
+    if hybrid:
+        NYPAD = ((NY + 15) // 16) * 16
+        acc = score_windows_hybrid_pallas(
+            q_stack, row0.astype(jnp.int32), col0.astype(jnp.int32), n_int,
+            BR=ROWS_PAD + 8, NYPAD=NYPAD, stride=stride, interpret=interpret,
+        )                                                    # (N, NT, NYPAD, 128)
+        raw = acc[:, :, :NY, :NX]                            # (N, NT, NY, NX)
+    else:
+        acc = score_windows_pallas(
+            q_stack, row0.astype(jnp.int32), col0.astype(jnp.int32), n_int,
+            ROWS_PAD=ROWS_PAD, interpret=interpret,
+        )                                                    # (N, NT, ROWS_PAD, 128)
+        raw = acc[:, :, 0 : stride * NY : stride, :NX]       # (N, NT, NY, NX)
+    raw = raw.transpose(0, 3, 2, 1)                          # (N, NX, NY, NT)
+
+    if penalize:
+        penalty = _lattice_penalty(
+            xvals, yvals, tvals, ct, ox, oy, grid_size=G, grid_res=grid_res,
+            dist_var_penalty=dist_var_penalty, ang_var_penalty=ang_var_penalty,
+        )
+    else:
+        penalty = jnp.ones((), dtype=dtype)
+
+    out = raw.astype(dtype) / n_pts[:, None, None, None] * penalty / 100.0
+    return out, xvals, yvals, tvals
+
+
+def mxu_score_layout(S: int, spec: LatticeSpec, stride: int):
+    """Static layout parameters for the MXU window-sum scorer (see
+    pallas_kernels.score_windows_mxu_pallas).  Returns (BR, NYPAD, MROW,
+    R, L, q_stack_bytes)."""
+    NX, NY, NT = spec
+    WINY = stride * (NY - 1) + 1
+    # aligned block load: up to 7 rows of misalignment + the window rows
+    BR = ((WINY + 8 + 7) // 8) * 8
+    NYPAD = ((NY + 15) // 16) * 16       # bf16 sublane tile
+    MROW = ((WINY + 7) // 8) * 8 + 8     # top zero margin (clamped reads)
+    R = MROW + S + BR                    # bottom margin = one block span
+    L = ((128 + S + 256 + 127) // 128) * 128
+    return BR, NYPAD, MROW, R, L, R * L * 2
+
+
+def score_lattice_mxu_batched(
+    qgrid2d,     # (N, S, S) quantized subgrids (already full-grid masked)
+    pts_x,       # (N, P)
+    pts_y,
+    n_pts,       # (N,)
+    cx, cy, ct,  # (N,)
+    ox, oy,      # (N,)
+    sox, soy,    # (N,)
+    *,
+    spec: LatticeSpec,
+    xy_size, xy_res, ang_size, ang_res,
+    grid_size: int,
+    grid_res: float,
+    sub_size: int,
+    penalize: bool,
+    dtype,
+    dist_var_penalty: float = 0.5,
+    ang_var_penalty: float = 1.0,
+    interpret: bool = False,
+):
+    """Lattice scoring via the MXU one-hot-contraction Pallas kernel (the
+    TPU fast path; pallas_kernels.score_windows_mxu_pallas documents the
+    cost model).  Index math matches :func:`score_lattice_patch_batched`
+    (round once at the lattice origin, walk integer strides); the stride
+    is folded into the selection matmuls, so no phase-split layout and any
+    integer stride with WINX <= 128 works.  Values are integers <= 100,
+    exact through the bf16 grid / bf16 selectors / f32 accumulation.
+    """
+    from yag_slam_tpu.matching.pallas_kernels import score_windows_mxu_pallas
+
+    NX, NY, NT = spec
+    N, S, _ = qgrid2d.shape
+    G = grid_size
+    stride = int(round(xy_res / grid_res))
+    WINX = stride * (NX - 1) + 1
+    WINY = stride * (NY - 1) + 1
+    assert WINX <= 128 and NX <= 128, (spec, stride)
+    BR, NYPAD, MROW, R, L, _ = mxu_score_layout(S, spec, stride)
+
+    ar_x = jnp.arange(NX, dtype=dtype)
+    xvals = (cx - xy_size)[:, None] + ar_x[None, :] * xy_res
+    yvals = (cy - xy_size)[:, None] + jnp.arange(NY, dtype=dtype)[None] * xy_res
+    tvals = (ct - ang_size)[:, None] + jnp.arange(NT, dtype=dtype)[None] * ang_res
+
+    c, s = jnp.cos(tvals), jnp.sin(tvals)                       # (N, NT)
+    rx = c[:, :, None] * pts_x[:, None, :] - s[:, :, None] * pts_y[:, None, :]
+    ry = s[:, :, None] * pts_x[:, None, :] + c[:, :, None] * pts_y[:, None, :]
+
+    gx0 = world_to_grid_idx(
+        xvals[:, 0, None, None] + rx, ox[:, None, None], grid_res
+    )  # (N, NT, P)
+    gy0 = world_to_grid_idx(
+        yvals[:, 0, None, None] + ry, oy[:, None, None], grid_res
+    )
+    sgx0 = gx0 - sox[:, None, None]
+    sgy0 = gy0 - soy[:, None, None]
+
+    # clamp into the zero margins (float->int32 saturates for _FAR lanes,
+    # so clip before any arithmetic)
+    row0 = jnp.clip(sgy0, -WINY, S) + MROW
+    col0 = jnp.clip(sgx0, -WINX, S) + 128
+
+    q16 = qgrid2d.astype(jnp.bfloat16)
+    q_stack = jnp.pad(q16, ((0, 0), (MROW, BR), (128, L - S - 128)))
+
+    acc = score_windows_mxu_pallas(
         q_stack, row0.astype(jnp.int32), col0.astype(jnp.int32),
-        ROWS_PAD=ROWS_PAD, interpret=interpret,
-    )                                                        # (N, NT, ROWS_PAD, 128)
-    raw = acc[:, :, 0 : stride * NY : stride, :NX]           # (N, NT, NY, NX)
+        jnp.round(n_pts).astype(jnp.int32),
+        BR=BR, NYPAD=NYPAD, stride=stride, interpret=interpret,
+    )                                                        # (N, NT, NYPAD, 128)
+    raw = acc[:, :, :NY, :NX]                                # (N, NT, NY, NX)
     raw = raw.transpose(0, 3, 2, 1)                          # (N, NX, NY, NT)
 
     if penalize:

@@ -230,6 +230,42 @@ class _MatchHandle:
         return self._res
 
 
+class _MatchManyHandle:
+    """In-flight batch dispatched by match_many_async: `.result()` blocks
+    on the packed device output and assembles per-job results (running
+    per-job response-expansion retries where the coarse response came
+    back empty)."""
+
+    __slots__ = ("_m", "_outs", "_jobs", "_penalty", "_do_fine", "_res")
+
+    def __init__(self, matcher, outs, jobs, penalty, do_fine):
+        self._m = matcher
+        self._outs = outs
+        self._jobs = jobs
+        self._penalty = penalty
+        self._do_fine = do_fine
+        self._res = None
+
+    def result(self):
+        if self._res is None:
+            m = self._m
+            packed = np.asarray(self._outs[0])
+            coarse, fine = packed[:, 0], packed[:, 1]
+            results = []
+            for j, (query, base_scans) in enumerate(self._jobs):
+                # coarse-response trigger, as in match_scan
+                if (float(coarse[j][0]) <= 0.0
+                        and m.config.use_response_expansion):
+                    results.append(m.match_scan(
+                        query, base_scans, self._penalty, self._do_fine))
+                else:
+                    results.append(m._assemble(
+                        coarse[j], fine[j], self._do_fine, None))
+            self._res = results
+            self._outs = self._jobs = None
+        return self._res
+
+
 class CorrelativeScanMatcher:
     """TPU-native correlative scan matcher (coarse-to-fine, with response
     expansion).
@@ -341,11 +377,15 @@ class CorrelativeScanMatcher:
             cache[key] = hit
         return hit
 
-    def _subgrid_for(self, base_scans, center_x, center_y, P):
+    def _subgrid_for(self, base_scans, center_x, center_y, P,
+                     margin_cells: int = 0):
         """Host-side: tight occupied-bbox subgrid (origin + size bucket).
 
         Exact: every base point inside the full grid lands inside the
         subgrid (+ smear halo), so all other cells are zero.
+        `margin_cells` widens the box on every side — used by the chained
+        online pipeline, whose host-side pose estimates can lag the
+        device truth by a bounded number of cells.
         """
         cfg = self.config
         res = cfg.resolution
@@ -363,10 +403,11 @@ class CorrelativeScanMatcher:
             miny = min(miny, y0)
             maxy = max(maxy, y1)
 
-        gminx = int(np.clip(np.floor((minx - ox) / res) - 1, 0, G - 1))
-        gmaxx = int(np.clip(np.ceil((maxx - ox) / res) + 1, 0, G - 1))
-        gminy = int(np.clip(np.floor((miny - oy) / res) - 1, 0, G - 1))
-        gmaxy = int(np.clip(np.ceil((maxy - oy) / res) + 1, 0, G - 1))
+        mc = int(margin_cells)
+        gminx = int(np.clip(np.floor((minx - ox) / res) - 1 - mc, 0, G - 1))
+        gmaxx = int(np.clip(np.ceil((maxx - ox) / res) + 1 + mc, 0, G - 1))
+        gminy = int(np.clip(np.floor((miny - oy) / res) - 1 - mc, 0, G - 1))
+        gmaxy = int(np.clip(np.ceil((maxy - oy) / res) + 1 + mc, 0, G - 1))
         span = max(gmaxx - gminx, gmaxy - gminy) + 1 + 2 * h + 4
 
         s_max = self._max_sub()
@@ -537,9 +578,16 @@ class CorrelativeScanMatcher:
 
             if use_fused or use_vmem or use_patch:
                 def score(*args, spec, **kw):
-                    # VMEM window-sum kernel when the (stride, NX, VMEM)
-                    # envelope allows; window-gather path otherwise
+                    # MXU one-hot-contraction kernel first (fastest; any
+                    # integer stride with a <=128-cell window), then the
+                    # roll-based VMEM kernel, then window gathers
                     stride = int(round(kw["xy_res"] / res))
+                    winx = stride * (spec.nx - 1) + 1
+                    if use_vmem and winx <= 128 and spec.nx <= 128:
+                        *_, qb = C.mxu_score_layout(S, spec, stride)
+                        if qb <= _VMEM_SCORE_BUDGET:
+                            return C.score_lattice_mxu_batched(
+                                q_vm, *args, spec=spec, **kw)
                     if use_vmem and stride in (1, 2) and spec.nx <= 128:
                         _, _, _, _, qb = C.vmem_score_layout(S, spec, stride)
                         if qb <= _VMEM_SCORE_BUDGET:
@@ -708,8 +756,18 @@ class CorrelativeScanMatcher:
         batch workloads.  Response expansion, if needed, falls back to the
         single-match path per job.
         """
+        h = self.match_many_async(jobs, penalty, do_fine)
+        return h.result() if h is not None else []
+
+    def match_many_async(self, jobs, penalty=True, do_fine=True):
+        """Dispatch a batch of independent jobs without blocking.
+
+        Returns a handle whose .result() yields the list of
+        ScanMatcherResult.  Like match_scan_async, this lets a pipeline
+        overlap batch N's device time + tunnel readback with batch N+1's
+        host-side assembly and dispatch."""
         if not jobs:
-            return []
+            return None
         all_scans = [q for q, _ in jobs] + [s for _, bs in jobs for s in bs]
         P = self._ensure_point_cap(all_scans)
         B = self._base_bucket(max(len(bs) for _, bs in jobs))
@@ -723,17 +781,8 @@ class CorrelativeScanMatcher:
         )
         outs = prog(self.library.fields, idx, mask, pose, q_idx, center,
                     center[:, :2], sub)
-        packed = np.asarray(outs[0])
-        coarse, fine = packed[:, 0], packed[:, 1]
-
-        results = []
-        for j, (query, base_scans) in enumerate(jobs):
-            # coarse-response trigger, as in match_scan
-            if float(coarse[j][0]) <= 0.0 and self.config.use_response_expansion:
-                results.append(self.match_scan(query, base_scans, penalty, do_fine))
-            else:
-                results.append(self._assemble(coarse[j], fine[j], do_fine, None))
-        return results
+        outs[0].copy_to_host_async()
+        return _MatchManyHandle(self, outs, jobs, penalty, do_fine)
 
     def _assemble(self, coarse, fine, do_fine, outs):
         cfg = self.config

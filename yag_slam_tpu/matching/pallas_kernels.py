@@ -146,8 +146,8 @@ def smear_grid_xla(occ_padded, *, h: int, S: int, taps: tuple):
 #   [..., 0 : s*NJ : s, :NI].
 # ---------------------------------------------------------------------------
 
-def _score_kernel(row_ref, col_ref, q_hbm, out_ref, q_vmem, sem, *,
-                  P, ROWS_PAD):
+def _score_kernel(n_ref, row_ref, col_ref, q_hbm, out_ref, q_vmem, sem, *,
+                  ROWS_PAD):
     n = pl.program_id(0)
     k = pl.program_id(1)
 
@@ -157,7 +157,7 @@ def _score_kernel(row_ref, col_ref, q_hbm, out_ref, q_vmem, sem, *,
         cp.start()
         cp.wait()
 
-    def pt(p, acc):
+    def window(p):
         r0 = row_ref[0, k, p]
         c0 = col_ref[0, k, p]
         # Mosaic requires dynamic starts aligned to the (8, 128) tile;
@@ -171,23 +171,38 @@ def _score_kernel(row_ref, col_ref, q_hbm, out_ref, q_vmem, sem, *,
         blk = blk.astype(jnp.float32)
         blk = pltpu.roll(blk, (ROWS_PAD + 8) - (r0 - r8), 0)
         blk = pltpu.roll(blk, 256 - (c0 - c128), 1)
-        return acc + blk[:ROWS_PAD, :128]
+        return blk[:ROWS_PAD, :128]
 
-    acc = jax.lax.fori_loop(
-        0, P, pt, jnp.zeros((ROWS_PAD, 128), jnp.float32)
+    # Four points per iteration into independent accumulators: the body
+    # is latency-bound on the load->roll->add chain, and the chains
+    # interleave.  The tail is free: the producer's point lanes past the
+    # true count are FAR sentinels pointed at the zero margin (and n == P
+    # can only happen at a 128-multiple P), so reading indices n..n+2
+    # contributes exactly 0.
+    def pt4(q, accs):
+        a1, a2, a3, a4 = accs
+        return (a1 + window(4 * q), a2 + window(4 * q + 1),
+                a3 + window(4 * q + 2), a4 + window(4 * q + 3))
+
+    # loop to the job's true point count (lanes past n are FAR sentinels
+    # pointed at the zero margin — skipping them is exact)
+    zero = jnp.zeros((ROWS_PAD, 128), jnp.float32)
+    a1, a2, a3, a4 = jax.lax.fori_loop(
+        0, (n_ref[0, 0, 0] + 3) // 4, pt4, (zero, zero, zero, zero)
     )
-    out_ref[0, 0] = acc
+    out_ref[0, 0] = (a1 + a2) + (a3 + a4)
 
 
 @partial(jax.jit, static_argnames=("ROWS_PAD", "interpret"))
-def score_windows_pallas(q_stack, row0, col0, *, ROWS_PAD: int,
+def score_windows_pallas(q_stack, row0, col0, n_pts, *, ROWS_PAD: int,
                          interpret: bool = False):
     """Batched window-sum scoring.  q_stack (N, RT, L) bf16;
-    row0/col0 (N, K, P) int32 padded-window starts.  Returns
-    (N, K, ROWS_PAD, 128) f32 accumulated blocks."""
+    row0/col0 (N, K, P) int32 padded-window starts; n_pts (N,) int32 true
+    point counts.  Returns (N, K, ROWS_PAD, 128) f32 accumulated blocks."""
     N, RT, L = q_stack.shape
     _, K, P = row0.shape
-    kernel = partial(_score_kernel, P=P, ROWS_PAD=ROWS_PAD)
+    n_pts = n_pts.reshape(N, 1, 1).astype(jnp.int32)
+    kernel = partial(_score_kernel, ROWS_PAD=ROWS_PAD)
     return pl.pallas_call(
         kernel,
         grid=(N, K),
@@ -195,6 +210,8 @@ def score_windows_pallas(q_stack, row0, col0, *, ROWS_PAD: int,
             # SMEM blocks must keep the trailing two dims whole (the
             # (8, 128) divisibility rule), so block the K axis whole and
             # index row k inside the kernel
+            pl.BlockSpec((1, 1, 1), lambda n, k: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, P), lambda n, k: (n, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, P), lambda n, k: (n, 0, 0),
@@ -219,7 +236,229 @@ def score_windows_pallas(q_stack, row0, col0, *, ROWS_PAD: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(row0, col0, q_stack)
+    )(n_pts, row0, col0, q_stack)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid window-sum lattice scorer: rowsel matmul + lane roll.
+#
+# Same producer layout as score_windows_pallas (phase-split lanes fold
+# the column stride), but the per-point row handling runs on the MXU: a
+# one-hot (NYPAD, BR) row-selection matrix contracts the aligned bf16
+# block load directly to the NY lattice rows — folding the f32 upcast,
+# the dynamic row roll AND the row-stride subsample of the older kernel
+# into one cheap-to-generate matmul.  Only the (NYPAD, 256) lane roll
+# remains on the vector unit (half the volume of rolling the raw block).
+# Measured ~1.9x over score_windows_pallas at the default coarse lattice.
+# Output: (N, K, NYPAD, 128) f32, rows already stride-subsampled; the
+# caller crops [..., :NY, :NX].
+# ---------------------------------------------------------------------------
+
+
+def _score_hybrid_kernel(n_ref, row_ref, col_ref, q_hbm, out_ref, q_vmem,
+                         sem, *, BR, NYPAD, stride):
+    n = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        cp = pltpu.make_async_copy(q_hbm.at[n], q_vmem, sem)
+        cp.start()
+        cp.wait()
+
+    # loop-invariant iota-difference constant; equality against the
+    # per-point row misalignment yields the one-hot row selector.
+    # Compare + select in f32 (no bf16 compare on v5e; i32 masks can't
+    # relayout into bf16 selects), then pack to bf16 for the MXU.
+    rr = jax.lax.broadcasted_iota(jnp.int32, (NYPAD, BR), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (NYPAD, BR), 0)
+    rk = (rr - stride * jj).astype(jnp.float32)
+    one_r = jnp.ones((), jnp.float32)
+    zero_r = jnp.zeros((), jnp.float32)
+
+    def pt(p, acc):
+        r0 = row_ref[0, k, p]
+        c0 = col_ref[0, k, p]
+        r8 = pl.multiple_of((r0 // 8) * 8, 8)
+        c128 = pl.multiple_of((c0 // 128) * 128, 128)
+        blk = q_vmem[pl.ds(r8, BR), pl.ds(c128, 256)]          # bf16
+        roff = (r0 - r8).astype(jnp.float32)
+        rowsel = jnp.where(rk == roff, one_r, zero_r).astype(jnp.bfloat16)
+        t1 = jnp.dot(rowsel, blk,
+                     preferred_element_type=jnp.float32)       # (NYPAD, 256)
+        t1 = pltpu.roll(t1, 256 - (c0 - c128), 1)
+        return acc + t1[:, :128]
+
+    acc = jax.lax.fori_loop(
+        0, n_ref[0, 0, 0], pt, jnp.zeros((NYPAD, 128), jnp.float32)
+    )
+    out_ref[0, 0] = acc
+
+
+@partial(jax.jit, static_argnames=("BR", "NYPAD", "stride", "interpret"))
+def score_windows_hybrid_pallas(q_stack, row0, col0, n_pts, *, BR: int,
+                                NYPAD: int, stride: int,
+                                interpret: bool = False):
+    """Batched hybrid window-sum scoring on the score_windows_pallas
+    layout.  q_stack (N, RT, L) bf16; row0/col0 (N, K, P) int32; n_pts
+    (N,) int32.  Returns (N, K, NYPAD, 128) f32 row-subsampled sums."""
+    N, RT, L = q_stack.shape
+    _, K, P = row0.shape
+    n_pts = n_pts.reshape(N, 1, 1).astype(jnp.int32)
+    kernel = partial(_score_hybrid_kernel, BR=BR, NYPAD=NYPAD, stride=stride)
+    return pl.pallas_call(
+        kernel,
+        grid=(N, K),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda n, k: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, P), lambda n, k: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, P), lambda n, k: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, NYPAD, 128), lambda n, k: (n, k, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, K, NYPAD, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((RT, L), q_stack.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * K * P * (NYPAD * BR * 256 + NYPAD * 256),
+            bytes_accessed=N * RT * L * 2 + N * K * P * BR * 256 * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_pts, row0, col0, q_stack)
+
+
+# ---------------------------------------------------------------------------
+# MXU window-sum lattice scorer.
+#
+# Same job as score_windows_pallas, reformulated so the per-point inner
+# body runs on the MXU instead of the vector unit.  The window read
+# q2d[y0 + stride*j, x0 + stride*i] is two one-hot contractions of an
+# ALIGNED block load:
+#
+#     acc[j, i] += rowsel_p @ B_p @ colsel_p
+#     B_p     = q_vmem[align8(row0), align128(col0)][:BR, :256]   (bf16)
+#     rowsel  [j, r] = 1  iff  r == (row0 - align8(row0))  + stride*j
+#     colsel  [c, i] = 1  iff  c == (col0 - align128(col0)) + stride*i
+#
+# The one-hots fold BOTH the intra-tile misalignment (the two pltpu.roll
+# calls of the older kernel, ~60% of its per-point cost on v5e) and the
+# lattice stride subsampling (the older kernel's phase-split grid layout)
+# into two bf16 matmuls with f32 accumulation.  They are generated per
+# point as one equality compare against a hoisted iota-difference
+# constant, exact in bf16 (all values are small integers).  The point
+# loop runs to the job's true point count (SMEM scalar), not the padded
+# capacity.
+#
+# Layout contract (producer = correlation.score_lattice_mxu_batched):
+#   q_stack: (N, R, L) bf16 — quantized grid rows at [MROW, MROW + S),
+#            lanes at [128, 128 + S); zero margins elsewhere, sized so
+#            every clamped window read lands in-bounds.
+#   row0/col0: (N, K, P) int32 top-left window corner in padded coords
+#            (row0 = clamp(sgy0, -WINY, S) + MROW, col0 = clamp(sgx0,
+#            -WINX, S) + 128).
+#   n_pts:  (N,) int32 true point count (lanes >= n are never read).
+# Output: (N, K, NYPAD, 128) f32; caller crops [..., :NY, :NX].
+# ---------------------------------------------------------------------------
+
+
+def _mxu_score_kernel(n_ref, row_ref, col_ref, q_hbm, out_ref, q_vmem, sem,
+                      *, BR, NYPAD, stride):
+    n = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        cp = pltpu.make_async_copy(q_hbm.at[n], q_vmem, sem)
+        cp.start()
+        cp.wait()
+
+    # iota-difference constants (loop-invariant; hoisted by Mosaic):
+    # equality against a scalar yields the one-hot selection matrices.
+    # Compare + select run in f32 (the i32 mask's (8, 128) tiling cannot
+    # relayout into a bf16 select, and v5e has no bf16 compare); the f32
+    # one-hot then packs to bf16 for the MXU.
+    rr = jax.lax.broadcasted_iota(jnp.int32, (NYPAD, BR), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (NYPAD, BR), 0)
+    rk = (rr - stride * jj).astype(jnp.float32)    # rowsel iff rk == roff
+    cc = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1)
+    ck = (cc - stride * ii).astype(jnp.float32)    # colsel iff ck == coff
+    one_r = jnp.ones((), jnp.float32)
+    zero_r = jnp.zeros((), jnp.float32)
+
+    def pt(p, acc):
+        r0 = row_ref[0, k, p]
+        c0 = col_ref[0, k, p]
+        r8 = pl.multiple_of((r0 // 8) * 8, 8)
+        c128 = pl.multiple_of((c0 // 128) * 128, 128)
+        blk = q_vmem[pl.ds(r8, BR), pl.ds(c128, 256)]          # bf16
+        roff = (r0 - r8).astype(jnp.float32)
+        coff = (c0 - c128).astype(jnp.float32)
+        rowsel = jnp.where(rk == roff, one_r, zero_r).astype(
+            jnp.bfloat16)                                      # (NYPAD, BR)
+        colsel = jnp.where(ck == coff, one_r, zero_r).astype(
+            jnp.bfloat16)                                      # (256, 128)
+        t1 = jnp.dot(rowsel, blk,
+                     preferred_element_type=jnp.float32)       # (NYPAD, 256)
+        t2 = jnp.dot(t1.astype(jnp.bfloat16), colsel,
+                     preferred_element_type=jnp.float32)       # (NYPAD, 128)
+        return acc + t2
+
+    acc = jax.lax.fori_loop(
+        0, n_ref[0, 0, 0], pt, jnp.zeros((NYPAD, 128), jnp.float32)
+    )
+    out_ref[0, 0] = acc
+
+
+@partial(jax.jit, static_argnames=("BR", "NYPAD", "stride", "interpret"))
+def score_windows_mxu_pallas(q_stack, row0, col0, n_pts, *, BR: int,
+                             NYPAD: int, stride: int,
+                             interpret: bool = False):
+    """Batched MXU window-sum scoring.  q_stack (N, R, L) bf16; row0/col0
+    (N, K, P) int32 padded window starts; n_pts (N,) int32 true point
+    counts.  Returns (N, K, NYPAD, 128) f32 lattice sums (stride already
+    applied by the one-hot selectors)."""
+    N, R, L = q_stack.shape
+    _, K, P = row0.shape
+    n_pts = n_pts.reshape(N, 1, 1).astype(jnp.int32)
+    kernel = partial(_mxu_score_kernel, BR=BR, NYPAD=NYPAD, stride=stride)
+    return pl.pallas_call(
+        kernel,
+        grid=(N, K),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda n, k: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, P), lambda n, k: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, P), lambda n, k: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, NYPAD, 128), lambda n, k: (n, k, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, K, NYPAD, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((R, L), q_stack.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * K * P * (NYPAD * BR * 256 + NYPAD * 256 * 128),
+            bytes_accessed=N * R * L * 2 + N * K * P * BR * 256 * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_pts, row0, col0, q_stack)
 
 
 # ---------------------------------------------------------------------------
