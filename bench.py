@@ -50,11 +50,11 @@ N_BASE = 10
 BATCH = 16
 
 
-def build_stream(n_scans=80, n_beams=360):
+def build_stream(n_scans=80, n_beams=360, seed=0):
     from yag_slam_tpu.io.simulator import SimWorld, simulate_scan
 
     world = SimWorld.office()
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     return [
         simulate_scan(
             world,
@@ -91,11 +91,19 @@ def bench_device(scans):
 
     stream = scans[: N_BASE + 60]
     pipe = OnlineMatchPipeline(m, window=N_BASE, sync_every=8)
-    pipe.seed(stream[:N_BASE])
-    pipe.push(stream[N_BASE])       # warm the chained program compile
+    # Warm on a SEPARATE stream covering the same trajectory extent so the
+    # sticky subgrid bucket (and its compiled program) reaches steady
+    # state before timing — a bucket-growth recompile inside the timed
+    # loop would skew the headline rate (ADVICE r3).  Scan uploads for the
+    # timed stream stay inside the timed region (distinct scans).
+    warm = build_stream(len(stream), seed=1)
+    pipe.seed(warm[:N_BASE])
+    for s in warm[N_BASE:]:
+        pipe.push(s)
     pipe.flush()
+    pipe.seed(stream[:N_BASE])
     t0 = time.time()
-    for s in stream[N_BASE + 1:]:
+    for s in stream[N_BASE:]:
         pipe.push(s)
     n_done = len(pipe.flush())
     single_rate = n_done / (time.time() - t0)
@@ -171,10 +179,16 @@ def bench_reference_native(scans, seconds=20.0, range_threshold=None):
     return done / (time.time() - t0)
 
 
-def bench_spa(n_nodes=500, repeats=3):
+def bench_spa(n_nodes=500, repeats=3, solver=None):
     """SPA solve wall time on a noisy loop graph of n_nodes (the
     reference's per-closure budget is <=100 LM iters on CPU,
-    /root/reference/yag_slam/graph_slam.py:265)."""
+    /root/reference/yag_slam/graph_slam.py:265).
+
+    With solver=None the SPA2d facade routes "auto" -> the host sparse
+    f64 path at these sizes (measured fastest single-chip; BASELINE.md
+    "SPA solver crossover") — that number is HOST CPU time and is labeled
+    as such in the output.  solver="cg" times the device matrix-free PCG
+    path (the distributed building block) on the current backend."""
     from yag_slam_tpu.core.transform import se2_compose, se2_relative
     from yag_slam_tpu.graphopt.spa import SPA2d
 
@@ -182,7 +196,7 @@ def bench_spa(n_nodes=500, repeats=3):
     side = n_nodes // 4
 
     def build2():
-        spa = SPA2d()
+        spa = SPA2d() if solver is None else SPA2d(solver=solver)
         true = [np.array([0.0, 0.0, 0.0])]
         for s in range(4):
             for _ in range(side):
@@ -224,6 +238,14 @@ def main():
     except Exception:
         spa_time, spa_nodes = float("nan"), 0
     try:
+        # device matrix-free PCG (the distributed-SPA building block) at a
+        # pod-scale graph size, on the current backend
+        spa_dev_time, spa_dev_nodes = bench_spa(
+            n_nodes=4000, repeats=2, solver="cg"
+        )
+    except Exception:
+        spa_dev_time, spa_dev_nodes = float("nan"), 0
+    try:
         baseline = bench_reference_native(scans)
     except Exception:
         baseline = float("nan")
@@ -258,8 +280,14 @@ def main():
         "match_response": round(float(res.response), 3),
     }
     if spa_time == spa_time:
-        out["spa_solve_ms"] = round(spa_time * 1000.0, 1)
-        out["spa_nodes"] = spa_nodes
+        # HOST sparse-f64 path (SPA2d "auto" routes to host CPU at this
+        # size — measured fastest single-chip, see BASELINE.md)
+        out["spa_solve_ms_host"] = round(spa_time * 1000.0, 1)
+        out["spa_nodes_host"] = spa_nodes
+    if spa_dev_time == spa_dev_time:
+        # DEVICE matrix-free PCG on the current backend
+        out["spa_solve_ms_device_cg"] = round(spa_dev_time * 1000.0, 1)
+        out["spa_nodes_device_cg"] = spa_dev_nodes
     print(json.dumps(out))
 
 

@@ -167,6 +167,29 @@ def main():
             print(f"build fused:    FAILED scratch {fb/1e6:.1f} MB "
                   f"({type(e).__name__}: {e})")
 
+    if m.use_vmem_score:
+        from yag_slam_tpu.matching.pallas_kernels import (
+            ROW_TILE, scatter_ok, smear_quantize_ok,
+        )
+        if smear_quantize_ok(S, h, Cpad):
+            try:
+                psc = scatter_ok(S + 2 * ROW_TILE, Cpad, B * P)
+
+                def build_strip(wx_, *rest):
+                    g = C.build_quantized_grid_strip(
+                        wx_, wy, keep, ox, oy, sox, soy,
+                        G=G, S=S, h=h, Cpad=Cpad, res=res, taps=taps,
+                        dtype=dtype, pallas_scatter=psc)
+                    return wx_ + g[:, 0, 0][:, None, None].astype(
+                        wx_.dtype) * 0
+
+                t = timeit(scan_loop(build_strip, R), (wx,)) / R
+                results["build_strip_ms"] = t * 1000.0
+                print(f"build strip:    {t*1000:8.2f} ms "
+                      f"(pallas_scatter={psc})")
+            except Exception as e:
+                print(f"build strip:    FAILED ({type(e).__name__}: {e})")
+
     # NOTE: big arrays must be jit *arguments* — closed-over constants get
     # embedded in the program and overflow the tunnel's request limit.
     occ = jax.block_until_ready(jax.jit(

@@ -581,3 +581,18 @@ def test_fused_build_matches_staged_pipeline():
         wx, wy, keep, ox, oy, sox, soy, taps=taps, interpret=True, **kw
     ).astype(np.float32))
     np.testing.assert_array_equal(out, ref)
+
+    # the strip build (scatter -> smear_quantize_pallas) must produce the
+    # identical quantized/masked grid — it is the S>=1792 throughput path
+    # where the fully-fused kernel's occupancy scratch no longer fits VMEM
+    out_strip = np.asarray(C.build_quantized_grid_strip(
+        wx, wy, keep, ox, oy, sox, soy, taps=taps, dtype=np.float32,
+        pallas_scatter=True, interpret=True, **kw
+    ).astype(np.float32))
+    np.testing.assert_array_equal(out_strip, ref)
+    # and with the XLA scatter front end (the huge-S fallback)
+    out_strip2 = np.asarray(C.build_quantized_grid_strip(
+        wx, wy, keep, ox, oy, sox, soy, taps=taps, dtype=np.float32,
+        pallas_scatter=False, interpret=True, **kw
+    ).astype(np.float32))
+    np.testing.assert_array_equal(out_strip2, ref)

@@ -122,15 +122,31 @@ def scans_dist(scan1, scan2):
 
 
 class RadiusHashSearch:
-    """Cell-hash radius search, same crude semantics as the reference
-    (/root/reference/yag_slam/helpers.py:396-431): buckets keyed by integer
-    cell, search returns all buckets whose cell-corner pose lies within
-    (radius + res)."""
+    """Cell-hash radius search with the reference's bucket semantics
+    (/root/reference/yag_slam/helpers.py:396-431): buckets keyed by
+    truncated integer cell, search returns all buckets whose cell-corner
+    pose lies within (radius + res) of the query.
+
+    Two scaling upgrades over the reference (VERDICT r3 item 6; result
+    sets are identical):
+
+    - ``crude_radius_search`` enumerates only the bounded key window that
+      can pass the corner-distance test — O((radius/res)^2) dict lookups
+      per query, constant in graph size — instead of scanning every
+      bucket (the reference is O(all buckets) per query, which a
+      lifelong-mapping graph with 10k+ splice vertices feels on every
+      loop-closure search).
+    - ``update_all`` re-keys only elements whose pose moved across a cell
+      boundary after optimization, instead of rebuilding the hash from
+      scratch (the reference rebuilds after every SPA run,
+      /root/reference/yag_slam/graph_slam.py:272)."""
 
     def __init__(self, elements, accessor=lambda v: v.obj.corrected_pose, res=1.0):
         self.res = res
         self.hmap = {}
         self.accessor = accessor
+        self._keys = {}    # id(element) -> current key
+        self._elems = {}   # id(element) -> element (keeps ids stable)
         for el in elements:
             self.add_new_element(el)
 
@@ -143,12 +159,49 @@ class RadiusHashSearch:
     def add_new_element(self, element):
         key = self.pose_to_key(self.accessor(element))
         self.hmap.setdefault(key, []).append(element)
+        self._keys[id(element)] = key
+        self._elems[id(element)] = element
+
+    def update_element(self, element):
+        """Re-bucket one element after its pose changed (no-op unless it
+        crossed a cell boundary)."""
+        new = self.pose_to_key(self.accessor(element))
+        old = self._keys.get(id(element))
+        if old == new:
+            return
+        if old is not None:
+            bucket = self.hmap[old]
+            bucket.remove(element)
+            if not bucket:
+                del self.hmap[old]
+        self.hmap.setdefault(new, []).append(element)
+        self._keys[id(element)] = new
+
+    def update_all(self):
+        """Incremental re-key of every element — the post-optimization
+        refresh (poses shift by the SPA correction; few cross a cell at
+        the loop-search resolution)."""
+        for el in list(self._elems.values()):
+            self.update_element(el)
 
     def crude_radius_search(self, start_pose, radius):
-        r2 = (radius + self.res) ** 2
+        r = radius + self.res
+        r2 = r * r
+        res = self.res
+        x, y = start_pose.x, start_pose.y
+        # every key whose corner (k*res) can lie within r of the query —
+        # same acceptance test as the reference's scan over all keys
+        kx0 = int(math.floor((x - r) / res))
+        kx1 = int(math.floor((x + r) / res)) + 1
+        ky0 = int(math.floor((y - r) / res))
+        ky1 = int(math.floor((y + r) / res)) + 1
         out = []
-        for key, elements in self.hmap.items():
-            pose = self.key_to_pose(key)
-            if poses_dist_squared(pose, start_pose) < r2:
-                out.extend(elements)
+        hmap = self.hmap
+        for kx in range(kx0, kx1 + 1):
+            dx2 = (kx * res - x) ** 2
+            for ky in range(ky0, ky1 + 1):
+                if dx2 + (ky * res - y) ** 2 < r2:
+                    elements = hmap.get((kx, ky))
+                    if elements:
+                        out.extend(elements)
         return out

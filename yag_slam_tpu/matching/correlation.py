@@ -300,6 +300,36 @@ def build_quantized_grid_fused(
                             interpret=interpret)
 
 
+def build_quantized_grid_strip(
+    wx, wy, keep, ox, oy, sox, soy, *, G, S, h, Cpad, res, taps, dtype,
+    pallas_scatter=True, interpret=False,
+):
+    """Two-kernel grid build for subgrids too big for the fully-fused
+    kernel's VMEM-resident occupancy scratch: scatter (Pallas per-job VMEM
+    stores, or XLA scatter-max when even that scratch won't fit) -> strip
+    smear + quantize + full-grid bounds mask (smear_quantize_pallas, whose
+    per-program VMEM is O(ROW_TILE * Cpad) and therefore compiles at any
+    S).  One HBM round trip between the stages — ~2 * S^2 bf16 bytes, tens
+    of microseconds at S=2048 — versus the three round trips of the staged
+    path it replaces.  Semantically equal to build_occupancy_padded ->
+    smear -> quantize_grid -> (row_ok & col_ok) masking; returns (N, S, S)
+    bfloat16 quantized subgrids (integer values in [0, 100], exact in
+    bf16)."""
+    from yag_slam_tpu.matching.pallas_kernels import smear_quantize_pallas
+
+    build = build_occupancy_pallas if pallas_scatter else build_occupancy_padded
+    occ = build(
+        wx, wy, keep, ox, oy, sox, soy,
+        G=G, S=S, h=h, Cpad=Cpad, res=res, dtype=jnp.bfloat16,
+        **(dict(interpret=interpret) if pallas_scatter else {}),
+    )
+    lim = jnp.stack(
+        [G - soy.astype(jnp.int32), G - sox.astype(jnp.int32)], axis=1
+    )
+    return smear_quantize_pallas(occ, lim, S=S, h=h, taps=taps,
+                                 interpret=interpret)
+
+
 # ---------------------------------------------------------------------------
 # Candidate-lattice scoring + best-pose reduction
 # ---------------------------------------------------------------------------

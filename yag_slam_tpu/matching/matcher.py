@@ -28,6 +28,7 @@ marshalling):
 """
 from __future__ import annotations
 
+import functools
 import math
 from collections import namedtuple
 from functools import partial
@@ -78,10 +79,10 @@ _VMEM_SCORE_BUDGET = 12 * 1024 * 1024
 # ~16 MB scoped-VMEM budget with headroom for the index SMEM blocks.
 _VMEM_SCATTER_BUDGET = 12 * 1024 * 1024
 
-# Fused grid build (scatter + smear + quantize in one kernel): gate on its
-# occupancy scratch + strip temporaries (pallas_kernels.
-# fused_build_vmem_bytes) against the 16 MB scoped-VMEM limit.
-_VMEM_BUILD_BUDGET = 15 * 1024 * 1024
+# Fused/strip grid-build selection is probe-gated (pallas_kernels.
+# fused_build_ok / smear_quantize_ok / scatter_ok): Mosaic itself decides
+# whether a config fits scoped VMEM, not a hand formula (round 3's formula
+# under-estimated by ~40% and crashed the bench).
 
 
 def _next_bucket(n: int, quantum: int = 128) -> int:
@@ -113,17 +114,39 @@ def scan_matcher_view(scan, cap: int):
     return scan._points_cache[key]
 
 
-@partial(jax.jit, donate_argnums=(0,))
+def _donate_fields():
+    # buffer donation is a no-op warning on the CPU backend (tests pin
+    # jax_platforms=cpu); donate only where it works
+    return (0,) if jax.default_backend() == "tpu" else ()
+
+
+@functools.lru_cache(maxsize=1)
+def _library_insert_fn():
+    return jax.jit(
+        lambda fields, rows, slot: {
+            k: fields[k].at[slot].set(rows[k]) for k in fields
+        },
+        donate_argnums=_donate_fields(),
+    )
+
+
 def _library_insert(fields, rows, slot):
-    return {k: fields[k].at[slot].set(rows[k]) for k in fields}
+    return _library_insert_fn()(fields, rows, slot)
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@functools.lru_cache(maxsize=1)
+def _library_grow_fn():
+    return jax.jit(
+        lambda fields, new_cap_zeros: {
+            k: new_cap_zeros[k].at[: fields[k].shape[0]].set(fields[k])
+            for k in fields
+        },
+        donate_argnums=(1,) if jax.default_backend() == "tpu" else (),
+    )
+
+
 def _library_grow(fields, new_cap_zeros):
-    return {
-        k: new_cap_zeros[k].at[: fields[k].shape[0]].set(fields[k])
-        for k in fields
-    }
+    return _library_grow_fn()(fields, new_cap_zeros)
 
 
 class DeviceScanLibrary:
@@ -228,6 +251,15 @@ class _MatchHandle:
             )
             self._outs = self._args = None
         return self._res
+
+
+class _EmptyBatchHandle:
+    """Trivial handle for an empty match_many_async batch."""
+
+    __slots__ = ()
+
+    def result(self):
+        return []
 
 
 class _MatchManyHandle:
@@ -449,6 +481,31 @@ class CorrelativeScanMatcher:
         use_vmem = self.use_vmem_score
         return_grid = self.return_meta
 
+        # Build-path selection, decided here (program-construction time) by
+        # Mosaic compile probes — the round-3 bench crash was a VMEM gate
+        # formula under-estimating Mosaic's real demand by ~40%, so the
+        # compiler itself is now the gate (pallas_kernels.fused_build_ok et
+        # al.; verdicts cached on disk).  Preference order:
+        #   fused  — scatter+smear+quantize in ONE kernel (occupancy grid
+        #            VMEM-resident; compiles to S=1536 at h=10 on v5e);
+        #   strip  — Pallas scatter -> strip smear+quantize kernel (one HBM
+        #            round trip; any S — the S>=1792 throughput path);
+        #   staged — XLA scatter / smear chain + separate quantize (CPU,
+        #            non-TPU backends, and the opt-in meta path, which needs
+        #            the unquantized grid).
+        from yag_slam_tpu.matching import pallas_kernels as PK
+
+        M = B * P
+        build_mode = "staged"
+        if use_vmem and not return_grid and h >= 1:
+            if PK.fused_build_ok(S, h, Cpad, M):
+                build_mode = "fused"
+            elif PK.smear_quantize_ok(S, h, Cpad):
+                build_mode = "strip"
+        strip_pallas_scatter = build_mode == "strip" and PK.scatter_ok(
+            S + 2 * PK.ROW_TILE, Cpad, M
+        )
+
         coarse_spec = C.LatticeSpec.from_search(
             0.0, 0.0, 0.0, cfg.search_size * 0.5, res * 2,
             coarse_offset * 0.5, cfg.coarse_angle_resolution,
@@ -489,25 +546,19 @@ class CorrelativeScanMatcher:
             sox = sub[:, 0]
             soy = sub[:, 1]
             taps = tuple(float(v) for v in k1)
-            from yag_slam_tpu.matching.pallas_kernels import (
-                fused_build_vmem_bytes,
-            )
 
-            # Fused grid build (scatter + smear + quantize + bounds mask in
-            # one VMEM-resident kernel) whenever its scratch fits; it does
-            # not materialize the unquantized cgrid, so the opt-in meta
-            # path keeps the staged build.
-            use_fused = (
-                use_vmem
-                and not return_grid
-                and h >= 1
-                and fused_build_vmem_bytes(S, h, Cpad) <= _VMEM_BUILD_BUDGET
-            )
+            use_fused = build_mode in ("fused", "strip")
             cgrid = None
-            if use_fused:
+            if build_mode == "fused":
                 q2d16 = C.build_quantized_grid_fused(
                     wx, wy, keep, ox, oy, sox, soy,
                     G=G, S=S, h=h, Cpad=Cpad, res=res, taps=taps,
+                )
+            elif build_mode == "strip":
+                q2d16 = C.build_quantized_grid_strip(
+                    wx, wy, keep, ox, oy, sox, soy,
+                    G=G, S=S, h=h, Cpad=Cpad, res=res, taps=taps,
+                    dtype=dtype, pallas_scatter=strip_pallas_scatter,
                 )
             else:
                 # The scatter kernel holds one job's whole (S + 2*ROW_TILE,
@@ -756,18 +807,19 @@ class CorrelativeScanMatcher:
         batch workloads.  Response expansion, if needed, falls back to the
         single-match path per job.
         """
-        h = self.match_many_async(jobs, penalty, do_fine)
-        return h.result() if h is not None else []
+        return self.match_many_async(jobs, penalty, do_fine).result()
 
     def match_many_async(self, jobs, penalty=True, do_fine=True):
         """Dispatch a batch of independent jobs without blocking.
 
         Returns a handle whose .result() yields the list of
-        ScanMatcherResult.  Like match_scan_async, this lets a pipeline
-        overlap batch N's device time + tunnel readback with batch N+1's
-        host-side assembly and dispatch."""
+        ScanMatcherResult (symmetric with match_scan_async — an empty
+        batch yields a trivial handle whose result is [], ADVICE r3).
+        Like match_scan_async, this lets a pipeline overlap batch N's
+        device time + tunnel readback with batch N+1's host-side assembly
+        and dispatch."""
         if not jobs:
-            return None
+            return _EmptyBatchHandle()
         all_scans = [q for q, _ in jobs] + [s for _, bs in jobs for s in bs]
         P = self._ensure_point_cap(all_scans)
         B = self._base_bucket(max(len(bs) for _, bs in jobs))

@@ -28,6 +28,10 @@ S must be a multiple of ROW_TILE (128), and the smear half-width h must be
 """
 from __future__ import annotations
 
+import json
+import os
+import tempfile
+import threading
 from functools import partial
 
 import numpy as np
@@ -41,6 +45,75 @@ ROW_TILE = 128
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Mosaic compile probes.
+#
+# Scoped-VMEM demand is decided by Mosaic's own accounting, which a hand
+# formula can only approximate (round 3 shipped a bench crash from a ~6 MB
+# estimation error on the fused build kernel).  The structural fix: before a
+# kernel config is used inside a real program, AOT-compile the standalone
+# pallas_call at that exact static config and cache the verdict.  A formula
+# stays as a cheap pre-reject so hopeless configs don't pay a probe compile.
+# Verdicts persist on disk keyed by jax version + config, so each process
+# (bench runs, tests, apps) pays the probe compile at most once per machine.
+# ---------------------------------------------------------------------------
+
+_PROBE_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".pallas_probe_cache.json",
+)
+_probe_lock = threading.Lock()
+_probe_cache: dict | None = None
+
+
+def _probe_load():
+    global _probe_cache
+    if _probe_cache is None:
+        try:
+            with open(_PROBE_CACHE_PATH) as f:
+                _probe_cache = json.load(f)
+        except Exception:
+            _probe_cache = {}
+    return _probe_cache
+
+
+def _probe_save():
+    try:
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(_PROBE_CACHE_PATH), suffix=".tmp"
+        )
+        with os.fdopen(fd, "w") as f:
+            json.dump(_probe_cache, f)
+        os.replace(tmp, _PROBE_CACHE_PATH)
+    except Exception:
+        pass
+
+
+def _probe(key_parts, thunk) -> bool:
+    """True iff `thunk` (an AOT compile of the kernel at one static
+    config) succeeds; cached in-process and on disk."""
+    key = "|".join(str(p) for p in key_parts)
+    with _probe_lock:
+        cache = _probe_load()
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+    try:
+        thunk()
+        ok = True
+    except Exception:
+        ok = False
+    with _probe_lock:
+        cache = _probe_load()
+        cache[key] = ok
+        _probe_save()
+    return ok
+
+
+def _aot(fn, *specs):
+    jax.jit(fn).lower(*specs).compile()
 
 
 def _smear_kernel(prev_ref, cur_ref, nxt_ref, out_ref, *, h, S, taps):
@@ -117,6 +190,181 @@ def smear_grid_xla(occ_padded, *, h: int, S: int, taps: tuple):
         t = k[d] * jax.lax.slice_in_dim(acc, base + d, base + d + S, axis=1)
         acc2 = t if acc2 is None else jnp.maximum(acc2, t)
     return acc2  # (N, S, S)
+
+
+# ---------------------------------------------------------------------------
+# Strip smear + quantize + bounds mask.
+#
+# The any-S half of the grid build: reads the scatter kernels' occupancy
+# layout from HBM in pipelined row strips (bf16), runs both separable
+# weighted max-dilation passes, quantizes to floor(100*x), masks cells past
+# the full grid's high edge, and DMAs each finished strip to HBM manually
+# (the plain smear kernel's (N, S, S) f32 VMEM output block is what stopped
+# it past S=1024).  Unlike build_grid_fused it does NOT hold the whole
+# occupancy grid in VMEM — per-program VMEM is O(ROW_TILE * Cpad) — so it
+# compiles at subgrid sizes the fully-fused kernel cannot (probe-verified:
+# fused dies at S=1792 on v5e, this runs at S=4096).
+#
+# Layout contract: occ (N, S + 2*ROW_TILE, Cpad) bf16 per the scatter
+# layout (occupied rows at +ROW_TILE, columns at +h); lim (N, 2) int32 =
+# (G - soy, G - sox).  Output (N, S, S) bf16 quantized subgrids (integer
+# values in [0, 100], exact in bf16).  Math in f32 (tap products quantize
+# through floor(100*x); bf16 tap rounding could cross an integer boundary).
+# ---------------------------------------------------------------------------
+
+def _smear_quantize_kernel(lim_ref, prev_ref, cur_ref, nxt_ref, out_hbm,
+                           stage_vmem, sem, *, h, S, taps):
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    strip = jnp.concatenate(
+        [prev_ref[0, ROW_TILE - h :, :], cur_ref[0], nxt_ref[0, :h, :]],
+        axis=0,
+    ).astype(jnp.float32)
+    # pass 1 (lanes); tap symmetry (taps[d] == taps[2h-d], all > 0):
+    # max(t*a, t*b) == t*max(a, b)
+    acc = taps[h] * strip[:, h : h + S]
+    for d in range(h):
+        m = jnp.maximum(strip[:, d : d + S],
+                        strip[:, 2 * h - d : 2 * h - d + S])
+        acc = jnp.maximum(acc, taps[d] * m)
+    # pass 2 (sublanes)
+    acc2 = taps[h] * acc[h : h + ROW_TILE, :]
+    for d in range(h):
+        m = jnp.maximum(
+            acc[d : d + ROW_TILE, :], acc[2 * h - d : 2 * h - d + ROW_TILE, :]
+        )
+        acc2 = jnp.maximum(acc2, taps[d] * m)
+
+    q = jnp.floor(acc2 * 100.0)
+    row_hi = lim_ref[0, 0, 0] - i * ROW_TILE
+    col_hi = lim_ref[0, 0, 1]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, S), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, S), 1)
+    q = jnp.where((rr < row_hi) & (cc < col_hi), q, 0.0)
+    stage_vmem[...] = q.astype(jnp.bfloat16)
+
+    row0 = pl.multiple_of(i * ROW_TILE, ROW_TILE)
+    cp = pltpu.make_async_copy(
+        stage_vmem, out_hbm.at[n, pl.ds(row0, ROW_TILE), :], sem
+    )
+    cp.start()
+    cp.wait()
+
+
+@partial(jax.jit, static_argnames=("S", "h", "taps", "interpret"))
+def smear_quantize_pallas(occ, lim, *, S: int, h: int, taps: tuple,
+                          interpret: bool = False):
+    """occ: (N, S + 2*ROW_TILE, Cpad) bf16 scatter-layout occupancy;
+    lim: (N, 2) int32 (row_hi, col_hi) full-grid bounds in subgrid coords.
+    Returns (N, S, S) bfloat16 quantized smeared correlation subgrids."""
+    N, rows, Cpad = occ.shape
+    assert S % ROW_TILE == 0, S
+    assert rows == S + 2 * ROW_TILE, occ.shape
+    assert 1 <= h < ROW_TILE, h
+    n_strips = S // ROW_TILE
+    lim = lim.reshape(N, 1, 2)
+    kernel = partial(_smear_quantize_kernel, h=h, S=S, taps=taps)
+    block = (1, ROW_TILE, Cpad)
+    return pl.pallas_call(
+        kernel,
+        grid=(N, n_strips),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(block, lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda b, i: (b, i + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda b, i: (b, i + 2, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((N, S, S), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((ROW_TILE, S), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * (2 * h + 1) * N * S * S,
+            bytes_accessed=N * S * S * 2 + N * rows * Cpad * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lim, occ, occ, occ)
+
+
+# ---------------------------------------------------------------------------
+# Probe-backed gates for the grid-build kernels (see "Mosaic compile
+# probes" above).  Formulas pre-reject; Mosaic's own compiler decides.
+# ---------------------------------------------------------------------------
+
+def _dummy_taps(h: int) -> tuple:
+    # Compilation success depends on h (loop structure), not tap values.
+    return tuple(float(v) / (h + 1.0) for v in range(1, h + 2)) + tuple(
+        float(v) / (h + 1.0) for v in range(h, 0, -1)
+    )
+
+
+def fused_build_ok(S: int, h: int, Cpad: int, M: int) -> bool:
+    """Can build_grid_fused compile at this config on the current backend?"""
+    if jax.default_backend() != "tpu" or h < 1:
+        return False
+    # pre-reject: probe-calibrated Mosaic demand is ~1.45x this estimate
+    # (14.44 MB est -> 20.36 MB actual at S=2048 on v5e)
+    if fused_build_vmem_bytes(S, h, Cpad) * 1.45 > 21 * 1024 * 1024:
+        return False
+    taps = _dummy_taps(h)
+    i32 = jnp.int32
+
+    def thunk():
+        _aot(
+            lambda sy, sx, lim: build_grid_fused(
+                sy, sx, lim, S=S, h=h, taps=taps, Cpad=Cpad
+            ),
+            jax.ShapeDtypeStruct((1, M), i32),
+            jax.ShapeDtypeStruct((1, M), i32),
+            jax.ShapeDtypeStruct((1, 2), i32),
+        )
+
+    return _probe(("fused_build", jax.__version__, S, h, Cpad, M), thunk)
+
+
+def scatter_ok(rows: int, Cpad: int, M: int) -> bool:
+    """Can scatter_occupancy_pallas compile at this config?"""
+    if jax.default_backend() != "tpu":
+        return False
+    if rows * Cpad * 2 > 12 * 1024 * 1024:  # single VMEM scratch grid
+        return False
+    i32 = jnp.int32
+
+    def thunk():
+        _aot(
+            lambda sy, sx: scatter_occupancy_pallas(
+                sy, sx, rows=rows, Cpad=Cpad
+            ),
+            jax.ShapeDtypeStruct((1, M), i32),
+            jax.ShapeDtypeStruct((1, M), i32),
+        )
+
+    return _probe(("scatter", jax.__version__, rows, Cpad, M), thunk)
+
+
+def smear_quantize_ok(S: int, h: int, Cpad: int) -> bool:
+    """Can smear_quantize_pallas compile at this config?"""
+    if jax.default_backend() != "tpu" or h < 1:
+        return False
+    rows = S + 2 * ROW_TILE
+
+    def thunk():
+        _aot(
+            lambda occ, lim: smear_quantize_pallas(
+                occ, lim, S=S, h=h, taps=_dummy_taps(h)
+            ),
+            jax.ShapeDtypeStruct((1, rows, Cpad), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        )
+
+    return _probe(("smear_quantize", jax.__version__, S, h, Cpad), thunk)
 
 
 # ---------------------------------------------------------------------------
@@ -219,7 +467,7 @@ def score_windows_pallas(q_stack, row0, col0, n_pts, *, ROWS_PAD: int,
             # ANY-space refs must be whole-array; the kernel DMAs the
             # n-th grid into VMEM scratch once per n (grid is sequential,
             # so the scratch persists across the K programs)
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, ROWS_PAD, 128), lambda n, k: (n, k, 0, 0),
@@ -316,7 +564,7 @@ def score_windows_hybrid_pallas(q_stack, row0, col0, n_pts, *, BR: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, P), lambda n, k: (n, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, NYPAD, 128), lambda n, k: (n, k, 0, 0),
@@ -327,6 +575,9 @@ def score_windows_hybrid_pallas(q_stack, row0, col0, n_pts, *, BR: int,
             pltpu.VMEM((RT, L), q_stack.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        # P is the padded point capacity; the fori_loop runs only to the
+        # true n_pts, so these are upper bounds (ADVICE r3: with heavy
+        # padding they overstate work — acceptable for scheduling hints)
         cost_estimate=pl.CostEstimate(
             flops=2 * N * K * P * (NYPAD * BR * 256 + NYPAD * 256),
             bytes_accessed=N * RT * L * 2 + N * K * P * BR * 256 * 2,
@@ -441,7 +692,7 @@ def score_windows_mxu_pallas(q_stack, row0, col0, n_pts, *, BR: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, P), lambda n, k: (n, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, NYPAD, 128), lambda n, k: (n, k, 0, 0),
@@ -452,6 +703,7 @@ def score_windows_mxu_pallas(q_stack, row0, col0, n_pts, *, BR: int,
             pltpu.VMEM((R, L), q_stack.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        # upper bounds: loop runs to n_pts, not the padded P (see hybrid)
         cost_estimate=pl.CostEstimate(
             flops=2 * N * K * P * (NYPAD * BR * 256 + NYPAD * 256 * 128),
             bytes_accessed=N * R * L * 2 + N * K * P * BR * 256 * 2,
@@ -520,7 +772,7 @@ def scatter_occupancy_pallas(sy, sx, *, rows: int, Cpad: int,
             pl.BlockSpec((1, 1, M), lambda n: (n, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((N, rows, Cpad), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((rows, Cpad), jnp.bfloat16),
@@ -662,7 +914,7 @@ def build_grid_fused(sy, sx, lim, *, S: int, h: int, taps: tuple, Cpad: int,
             pl.BlockSpec((1, 1, 2), lambda n, i: (n, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((N, S, S), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((R0, Cpad), jnp.bfloat16),

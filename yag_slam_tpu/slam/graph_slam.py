@@ -394,9 +394,10 @@ class GraphSlam:
                 Pose2(node.x, node.y, node.yaw)
             )
 
-        self.search = RadiusHashSearch(
-            self.graph.vertices, res=self.loop_search_dist
-        )
+        # incremental re-key (elements crossing a cell boundary only)
+        # instead of the reference's full rebuild
+        # (/root/reference/yag_slam/graph_slam.py:272)
+        self.search.update_all()
 
     # -- main entry ------------------------------------------------------------
     def process_scan(self, scan):
