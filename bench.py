@@ -37,6 +37,14 @@ import time
 
 import numpy as np
 
+
+def _log(msg):
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+_T0 = time.time()
+
 CFG = {
     # reference default_config (/root/reference/yag_slam/helpers.py:339-351):
     # range_threshold 20 m, resolution 0.01 m, search 0.5 m => G = 4051
@@ -74,7 +82,9 @@ def bench_device(scans):
     m = CorrelativeScanMatcher(CFG)
 
     # warm up compiles for both paths
+    _log("warm: single match")
     res = m.match_scan(scans[N_BASE], scans[:N_BASE], True, True)
+    _log("warm: batched match")
     m.match_many(
         [(scans[N_BASE + 1], scans[1 : N_BASE + 1])] * BATCH, True, True
     )
@@ -96,11 +106,13 @@ def bench_device(scans):
     # state before timing — a bucket-growth recompile inside the timed
     # loop would skew the headline rate (ADVICE r3).  Scan uploads for the
     # timed stream stay inside the timed region (distinct scans).
+    _log("warm: pipeline stream")
     warm = build_stream(len(stream), seed=1)
     pipe.seed(warm[:N_BASE])
     for s in warm[N_BASE:]:
         pipe.push(s)
     pipe.flush()
+    _log("timed: pipeline stream")
     pipe.seed(stream[:N_BASE])
     t0 = time.time()
     for s in stream[N_BASE:]:
@@ -115,6 +127,7 @@ def bench_device(scans):
         (scans[i], scans[i - N_BASE : i])
         for i in range(N_BASE + 2, min(N_BASE + 42, len(scans)))
     ]
+    _log("timed: lockstep loop")
     t0 = time.time()
     pending = None
     for q, bs in jobs:
@@ -134,6 +147,7 @@ def bench_device(scans):
         for i in range(N_BASE, len(scans) - 1)
     ]
     n_batches = max(1, len(jobs) // BATCH)
+    _log("timed: batched")
     t0 = time.time()
     done = 0
     pending = None
@@ -146,6 +160,7 @@ def bench_device(scans):
         done += len(chunk)
     pending.result()
     batched_rate = done / (time.time() - t0)
+    _log("device phases done")
     return single_rate, lockstep_rate, batched_rate, res
 
 
@@ -233,18 +248,21 @@ def main():
 
     scans = build_stream()
     single_rate, lockstep_rate, batched_rate, res = bench_device(scans)
+    _log("spa host")
     try:
         spa_time, spa_nodes = bench_spa()
     except Exception:
         spa_time, spa_nodes = float("nan"), 0
+    _log("spa device cg")
     try:
         # device matrix-free PCG (the distributed-SPA building block) at a
         # pod-scale graph size, on the current backend
         spa_dev_time, spa_dev_nodes = bench_spa(
-            n_nodes=4000, repeats=2, solver="cg"
+            n_nodes=4000, repeats=1, solver="cg"
         )
     except Exception:
         spa_dev_time, spa_dev_nodes = float("nan"), 0
+    _log("cpu baseline 20m")
     try:
         baseline = bench_reference_native(scans)
     except Exception:

@@ -196,10 +196,19 @@ class Transform:
 
 def _np_like(x):
     # jax arrays and numpy arrays share the ufunc surface we use here; pick
-    # jnp only when given a jax array so these helpers stay jit-traceable.
+    # jnp only when given a jax value so these helpers stay jit-traceable.
+    # NOTE the check must be "is this a host value" (np.ndarray, numpy
+    # scalar, or python number), not "is this not an ndarray": indexing a
+    # numpy (3,) pose with [..., 2] yields an np.float64 *scalar*, and
+    # routing that through jnp silently moved every host-side pose
+    # composition onto the device — a ~40 ms tunnel round trip per call on
+    # the remote-TPU backend (found profiling bench round 4: the online
+    # pipeline paid it on every push).
+    if isinstance(x, (np.ndarray, np.generic, float, int)):
+        return np
     import jax.numpy as jnp
 
-    return jnp if not isinstance(x, np.ndarray) else np
+    return jnp
 
 
 def se2_wrap(theta):
