@@ -58,7 +58,7 @@ N_BASE = 10
 BATCH = 16
 
 
-def build_stream(n_scans=80, n_beams=360, seed=0):
+def build_stream(n_scans=150, n_beams=360, seed=0):
     from yag_slam_tpu.io.simulator import SimWorld, simulate_scan
 
     world = SimWorld.office()
@@ -84,9 +84,13 @@ def bench_device(scans):
     # warm up compiles for both paths
     _log("warm: single match")
     res = m.match_scan(scans[N_BASE], scans[:N_BASE], True, True)
-    _log("warm: batched match")
+    _log("warm: batched match x16")
     m.match_many(
         [(scans[N_BASE + 1], scans[1 : N_BASE + 1])] * BATCH, True, True
+    )
+    _log("warm: batched match x64")
+    m.match_many(
+        [(scans[N_BASE + 1], scans[1 : N_BASE + 1])] * 64, True, True
     )
 
     # single-stream online path: the DEVICE-CHAINED sequential pipeline
@@ -146,22 +150,27 @@ def bench_device(scans):
         (scans[i], scans[i - N_BASE : i])
         for i in range(N_BASE, len(scans) - 1)
     ]
-    n_batches = max(1, len(jobs) // BATCH)
-    _log("timed: batched")
-    t0 = time.time()
-    done = 0
-    pending = None
-    for bi in range(n_batches):
-        chunk = jobs[bi * BATCH : (bi + 1) * BATCH]
-        h = m.match_many_async(chunk, True, True)
-        if pending is not None:
-            pending.result()
-        pending = h
-        done += len(chunk)
-    pending.result()
-    batched_rate = done / (time.time() - t0)
+    rates = {}
+    for bsz in (BATCH, 64):
+        n_batches = max(1, len(jobs) // bsz)
+        _log(f"timed: batched x{bsz}")
+        t0 = time.time()
+        done = 0
+        pending = None
+        for bi in range(n_batches):
+            chunk = jobs[bi * bsz : (bi + 1) * bsz]
+            h = m.match_many_async(chunk, True, True)
+            if pending is not None:
+                pending.result()
+            pending = h
+            done += len(chunk)
+        pending.result()
+        rates[bsz] = done / (time.time() - t0)
+    # bigger dispatches amortize the tunnel RPC (which is bimodal: ~30 ms
+    # healthy, ~1 s degraded); report the best batch size plus both
+    batched_rate = max(rates.values())
     _log("device phases done")
-    return single_rate, lockstep_rate, batched_rate, res
+    return single_rate, lockstep_rate, batched_rate, rates, res
 
 
 def bench_reference_native(scans, seconds=20.0, range_threshold=None):
@@ -246,8 +255,17 @@ def bench_spa(n_nodes=500, repeats=3, solver=None):
 def main():
     import jax
 
+    # persistent compilation cache: the tunnel's remote-compile latency is
+    # bimodal (seconds healthy, ~10 min degraded); cached executables make
+    # reruns immune to the degraded regime
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     scans = build_stream()
-    single_rate, lockstep_rate, batched_rate, res = bench_device(scans)
+    single_rate, lockstep_rate, batched_rate, brates, res = bench_device(scans)
     _log("spa host")
     try:
         spa_time, spa_nodes = bench_spa()
@@ -285,6 +303,7 @@ def main():
         "single_stream": round(single_rate, 2),
         "single_stream_lockstep": round(lockstep_rate, 2),
         "batched": round(batched_rate, 2),
+        "batched_by_size": {k: round(v, 2) for k, v in brates.items()},
         "baseline_cpu_native": (
             round(baseline, 3) if baseline == baseline else None
         ),

@@ -34,6 +34,15 @@ N_BASE = 10
 def main():
     import jax
 
+    # persistent compilation cache: the tunnel's remote-compile latency is
+    # bimodal (seconds healthy, ~10 min degraded); cached executables make
+    # reruns immune to the degraded regime
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     if jax.default_backend() != "tpu":
         print(f"SKIP: backend is {jax.default_backend()}, not tpu")
         return 0

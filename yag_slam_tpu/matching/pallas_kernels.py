@@ -524,7 +524,7 @@ def _score_hybrid_kernel(n_ref, row_ref, col_ref, q_hbm, out_ref, q_vmem,
     one_r = jnp.ones((), jnp.float32)
     zero_r = jnp.zeros((), jnp.float32)
 
-    def pt(p, acc):
+    def window(p):
         r0 = row_ref[0, k, p]
         c0 = col_ref[0, k, p]
         r8 = pl.multiple_of((r0 // 8) * 8, 8)
@@ -535,12 +535,19 @@ def _score_hybrid_kernel(n_ref, row_ref, col_ref, q_hbm, out_ref, q_vmem,
         t1 = jnp.dot(rowsel, blk,
                      preferred_element_type=jnp.float32)       # (NYPAD, 256)
         t1 = pltpu.roll(t1, 256 - (c0 - c128), 1)
-        return acc + t1[:, :128]
+        return t1[:, :128]
 
-    acc = jax.lax.fori_loop(
-        0, n_ref[0, 0, 0], pt, jnp.zeros((NYPAD, 128), jnp.float32)
+    # two points per iteration, independent accumulators (latency-bound
+    # body; tail lanes are FAR sentinels into the zero margins — exact 0)
+    def pt2(q, accs):
+        a1, a2 = accs
+        return (a1 + window(2 * q), a2 + window(2 * q + 1))
+
+    zero = jnp.zeros((NYPAD, 128), jnp.float32)
+    a1, a2 = jax.lax.fori_loop(
+        0, (n_ref[0, 0, 0] + 1) // 2, pt2, (zero, zero)
     )
-    out_ref[0, 0] = acc
+    out_ref[0, 0] = a1 + a2
 
 
 @partial(jax.jit, static_argnames=("BR", "NYPAD", "stride", "interpret"))
@@ -646,7 +653,7 @@ def _mxu_score_kernel(n_ref, row_ref, col_ref, q_hbm, out_ref, q_vmem, sem,
     one_r = jnp.ones((), jnp.float32)
     zero_r = jnp.zeros((), jnp.float32)
 
-    def pt(p, acc):
+    def contract(p):
         r0 = row_ref[0, k, p]
         c0 = col_ref[0, k, p]
         r8 = pl.multiple_of((r0 // 8) * 8, 8)
@@ -660,14 +667,23 @@ def _mxu_score_kernel(n_ref, row_ref, col_ref, q_hbm, out_ref, q_vmem, sem,
             jnp.bfloat16)                                      # (256, 128)
         t1 = jnp.dot(rowsel, blk,
                      preferred_element_type=jnp.float32)       # (NYPAD, 256)
-        t2 = jnp.dot(t1.astype(jnp.bfloat16), colsel,
-                     preferred_element_type=jnp.float32)       # (NYPAD, 128)
-        return acc + t2
+        return jnp.dot(t1.astype(jnp.bfloat16), colsel,
+                       preferred_element_type=jnp.float32)     # (NYPAD, 128)
 
-    acc = jax.lax.fori_loop(
-        0, n_ref[0, 0, 0], pt, jnp.zeros((NYPAD, 128), jnp.float32)
+    # two points per iteration into independent accumulators: the body is
+    # latency-bound on the load->select->dot->dot chain and the chains
+    # interleave.  The tail is free: point lanes past the true count are
+    # FAR sentinels pointed at the zero margins (and n == P only at a
+    # 128-multiple), so lane n contributes exactly 0.
+    def pt2(q, accs):
+        a1, a2 = accs
+        return (a1 + contract(2 * q), a2 + contract(2 * q + 1))
+
+    zero = jnp.zeros((NYPAD, 128), jnp.float32)
+    a1, a2 = jax.lax.fori_loop(
+        0, (n_ref[0, 0, 0] + 1) // 2, pt2, (zero, zero)
     )
-    out_ref[0, 0] = acc
+    out_ref[0, 0] = a1 + a2
 
 
 @partial(jax.jit, static_argnames=("BR", "NYPAD", "stride", "interpret"))
