@@ -104,25 +104,38 @@ def bench_device(scans):
     from yag_slam_tpu.matching.pipeline import OnlineMatchPipeline
 
     stream = scans[: N_BASE + 60]
-    pipe = OnlineMatchPipeline(m, window=N_BASE, sync_every=8)
-    # Warm on a SEPARATE stream covering the same trajectory extent so the
-    # sticky subgrid bucket (and its compiled program) reaches steady
-    # state before timing — a bucket-growth recompile inside the timed
-    # loop would skew the headline rate (ADVICE r3).  Scan uploads for the
-    # timed stream stay inside the timed region (distinct scans).
-    _log("warm: pipeline stream")
+    # Both chained modes are measured: streaming (one dispatch per push)
+    # and block (sync_every steps per dispatch via lax.scan — wins when
+    # the per-dispatch RPC is expensive, e.g. the tunnel's degraded
+    # regime).  Warm on a SEPARATE stream covering the same trajectory
+    # extent so the sticky subgrid bucket (and its compiled programs)
+    # reach steady state before timing — a bucket-growth recompile inside
+    # the timed loop would skew the headline rate (ADVICE r3).  Scan
+    # uploads for the timed stream stay inside the timed region
+    # (distinct scans).
+    single_rates = {}
     warm = build_stream(len(stream), seed=1)
-    pipe.seed(warm[:N_BASE])
-    for s in warm[N_BASE:]:
-        pipe.push(s)
-    pipe.flush()
-    _log("timed: pipeline stream")
-    pipe.seed(stream[:N_BASE])
-    t0 = time.time()
-    for s in stream[N_BASE:]:
-        pipe.push(s)
-    n_done = len(pipe.flush())
-    single_rate = n_done / (time.time() - t0)
+    # a distinct timed stream per mode so neither inherits the other's
+    # device-library uploads
+    timed_streams = {"stream": stream, "block": build_stream(len(stream),
+                                                             seed=2)}
+    for mode in ("stream", "block"):
+        pipe = OnlineMatchPipeline(m, window=N_BASE, sync_every=8,
+                                   block_dispatch=(mode == "block"))
+        _log(f"warm: pipeline {mode}")
+        pipe.seed(warm[:N_BASE])
+        for s in warm[N_BASE:]:
+            pipe.push(s)
+        pipe.flush()
+        _log(f"timed: pipeline {mode}")
+        tstream = timed_streams[mode]
+        pipe.seed(tstream[:N_BASE])
+        t0 = time.time()
+        for s in tstream[N_BASE:]:
+            pipe.push(s)
+        n_done = len(pipe.flush())
+        single_rates[mode] = n_done / (time.time() - t0)
+    single_rate = max(single_rates.values())
 
     # lockstep online path, distinct inputs, pipelined one-deep: the
     # dispatch of match i overlaps the readback of match i-1 (jax
@@ -170,7 +183,7 @@ def bench_device(scans):
     # healthy, ~1 s degraded); report the best batch size plus both
     batched_rate = max(rates.values())
     _log("device phases done")
-    return single_rate, lockstep_rate, batched_rate, rates, res
+    return single_rate, single_rates, lockstep_rate, batched_rate, rates, res
 
 
 def bench_reference_native(scans, seconds=20.0, range_threshold=None):
@@ -265,7 +278,7 @@ def main():
         pass
 
     scans = build_stream()
-    single_rate, lockstep_rate, batched_rate, brates, res = bench_device(scans)
+    single_rate, srates, lockstep_rate, batched_rate, brates, res = bench_device(scans)
     _log("spa host")
     try:
         spa_time, spa_nodes = bench_spa()
@@ -275,8 +288,12 @@ def main():
     try:
         # device matrix-free PCG (the distributed-SPA building block) at a
         # pod-scale graph size, on the current backend
+        # 500 nodes matches the BASELINE.md crossover table row; the 4k
+        # point is measured offline (profile_spa) — at 4k a single solve
+        # took 463 s in the tunnel's degraded regime, which would eat the
+        # driver's bench budget
         spa_dev_time, spa_dev_nodes = bench_spa(
-            n_nodes=4000, repeats=1, solver="cg"
+            n_nodes=500, repeats=1, solver="cg"
         )
     except Exception:
         spa_dev_time, spa_dev_nodes = float("nan"), 0
@@ -301,6 +318,7 @@ def main():
             round(value / baseline, 2) if baseline == baseline else None
         ),
         "single_stream": round(single_rate, 2),
+        "single_stream_by_mode": {k: round(v, 2) for k, v in srates.items()},
         "single_stream_lockstep": round(lockstep_rate, 2),
         "batched": round(batched_rate, 2),
         "batched_by_size": {k: round(v, 2) for k, v in brates.items()},

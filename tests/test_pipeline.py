@@ -91,6 +91,41 @@ def test_pipeline_matches_sequential_loop():
                                    rtol=1e-9, atol=1e-12)
 
 
+def test_block_dispatch_matches_sequential_loop():
+    """block_dispatch=True (sync_every chained steps in ONE lax.scan
+    program — 1 dispatch + 1 readback per block) must produce the
+    sequential loop's results exactly, including a partial block at
+    flush."""
+    window = 6
+    scans_a, _ = make_stream()
+    scans_b, _ = make_stream()
+
+    ref = run_sequential(scans_a, window)
+
+    m = CorrelativeScanMatcher(CFG, dtype=jnp.float64)
+    pipe = OnlineMatchPipeline(m, window=window, sync_every=5,
+                               block_dispatch=True)
+    pipe.seed(scans_b[:window])
+    for s in scans_b[window:]:
+        pipe.push(s)
+    got = pipe.flush()          # 12 pushes: 2 full blocks + partial of 2
+
+    assert len(got) == len(ref)
+    for r_ref, r_got, s_ref, s_got in zip(
+        ref, got, scans_a[window:], scans_b[window:]
+    ):
+        assert r_got.response == pytest.approx(r_ref.response, abs=1e-9)
+        np.testing.assert_allclose(
+            [s_got.corrected_pose.x, s_got.corrected_pose.y,
+             s_got.corrected_pose.euler[-1]],
+            [s_ref.corrected_pose.x, s_ref.corrected_pose.y,
+             s_ref.corrected_pose.euler[-1]],
+            atol=1e-9,
+        )
+        np.testing.assert_allclose(r_got.covariance, r_ref.covariance,
+                                   rtol=1e-9, atol=1e-12)
+
+
 def test_pipeline_redo_sweep_mid_batch():
     """The sync-time validation's synchronous forward sweep (VERDICT r3
     weak #2/#3): when a mid-batch match is flagged (subgrid insufficient

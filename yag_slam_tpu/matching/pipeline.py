@@ -77,14 +77,28 @@ class OnlineMatchPipeline:
     """
 
     def __init__(self, matcher, window: int = 10, sync_every: int = 8,
-                 penalty: bool = True, do_fine: bool = True):
+                 penalty: bool = True, do_fine: bool = True,
+                 block_dispatch: bool = False):
         self.m = matcher
         self.window = int(window)
         self.sync_every = int(sync_every)
         self.penalty = bool(penalty)
         self.do_fine = bool(do_fine)
+        # block_dispatch=True batches sync_every chained steps into ONE
+        # device program (a lax.scan over the step core): 1 dispatch + 1
+        # readback per sync_every matches instead of sync_every dispatches
+        # + 1 readback.  Results are identical; matching of scan k starts
+        # only once the block fills, so per-scan latency rises by up to
+        # sync_every scan periods — choose per deployment (remote/tunneled
+        # TPUs: block; locally attached: either).
+        self.block_dispatch = bool(block_dispatch)
         self._base = []          # current sliding window (host scans)
-        self._inflight = []      # [(scan, base_list, packed_dev, sub_used, prior)]
+        # dispatched-but-unfetched groups: (steps, packed_dev) where steps
+        # is a list of per-step (scan, base_list, sub_used, prior) and
+        # packed_dev is (1, 2, 8) [streaming] or (K, 1, 2, 8) [block]
+        self._inflight = []
+        self._n_inflight = 0     # total steps across groups
+        self._pending = []       # block mode: host-prepped steps awaiting dispatch
         self._results = []       # completed ScanMatcherResult, push order
         self._poses = None       # device (K_cap, 3) corrected poses
         self._est = None         # host (3,) estimate of last pushed pose
@@ -126,27 +140,54 @@ class OnlineMatchPipeline:
         return np.array([pose.x, pose.y, pose.euler[-1]])
 
     # -- program --------------------------------------------------------------
+    def _make_step(self, P, B, S):
+        core = self.m._make_core(
+            P, B, self.penalty, self.do_fine,
+            self.m.config.coarse_search_angle_offset, S,
+            q_from_library=True,
+        )
+
+        def step(lib, poses, idx, mask, q_idx, prev_idx, prior, sub):
+            center = se2_compose(poses[prev_idx], prior)      # (1, 3)
+            pose_b = poses[idx]                               # (1, B, 3)
+            outs = core(lib, idx, mask, pose_b, q_idx, center,
+                        center[:, :2], sub)
+            packed = outs[0]                                  # (1, 2, 8)
+            fine_xyt = packed[:, 1, 1:4].astype(poses.dtype)
+            poses2 = poses.at[q_idx].set(fine_xyt)
+            return poses2, packed
+
+        return step
+
     def _program(self, P, B, S):
         key = (P, B, S)
         prog = self._progs.get(key)
         if prog is None:
-            core = self.m._make_core(
-                P, B, self.penalty, self.do_fine,
-                self.m.config.coarse_search_angle_offset, S,
-                q_from_library=True,
-            )
+            prog = jax.jit(self._make_step(P, B, S), donate_argnums=(1,))
+            self._progs[key] = prog
+        return prog
 
-            def step(lib, poses, idx, mask, q_idx, prev_idx, prior, sub):
-                center = se2_compose(poses[prev_idx], prior)      # (1, 3)
-                pose_b = poses[idx]                               # (1, B, 3)
-                outs = core(lib, idx, mask, pose_b, q_idx, center,
-                            center[:, :2], sub)
-                packed = outs[0]                                  # (1, 2, 8)
-                fine_xyt = packed[:, 1, 1:4].astype(poses.dtype)
-                poses2 = poses.at[q_idx].set(fine_xyt)
-                return poses2, packed
+    def _block_program(self, P, B, S, K):
+        """K chained steps as ONE program: lax.scan carries the device
+        pose array through the per-step core, so a whole sync window runs
+        on one dispatch + one readback (the step bodies are identical, so
+        XLA compiles the scan body once regardless of K)."""
+        key = (P, B, S, "block", K)
+        prog = self._progs.get(key)
+        if prog is None:
+            step = self._make_step(P, B, S)
 
-            prog = jax.jit(step, donate_argnums=(1,))
+            def block(lib, poses, idx, mask, q_idx, prev_idx, prior, sub):
+                # all step args stacked (K, ...) along axis 0
+                def body(carry, xs):
+                    return step(lib, carry, *xs)
+
+                poses2, packs = jax.lax.scan(
+                    body, poses, (idx, mask, q_idx, prev_idx, prior, sub)
+                )
+                return poses2, packs                          # (K, 1, 2, 8)
+
+            prog = jax.jit(block, donate_argnums=(1,))
             self._progs[key] = prog
         return prog
 
@@ -163,9 +204,18 @@ class OnlineMatchPipeline:
         self._est = self._xyt(last.corrected_pose)
         self._last_odom = self._xyt(last.odom_pose)
 
+    def _clip_sub(self, sox, soy, S):
+        G = self.m.grid_size
+        if S >= G:
+            return 0, 0
+        return (int(np.clip(sox, 0, G - S)), int(np.clip(soy, 0, G - S)))
+
     def push(self, scan):
-        """Dispatch the chained match of `scan` against the current
-        window.  Non-blocking; auto-syncs every `sync_every` pushes."""
+        """Enqueue the chained match of `scan` against the current
+        window.  Non-blocking; auto-syncs every `sync_every` pushes.
+        Streaming mode dispatches each step immediately; block mode
+        buffers host-side and dispatches sync_every steps as one
+        program."""
         if not self._base:
             raise RuntimeError("seed() the pipeline before push()")
         m = self.m
@@ -182,9 +232,7 @@ class OnlineMatchPipeline:
         P = m._ensure_point_cap(base + [scan])
         B = m._base_bucket(len(base))
         slots = m.library.ensure(base + [scan], P)
-        self._ensure_poses()
 
-        np_dtype = np.dtype(m.dtype)
         idx = np.zeros((1, B), dtype=np.int32)
         mask = np.zeros((1, B), dtype=bool)
         idx[0, : len(base)] = slots[:-1]
@@ -197,28 +245,69 @@ class OnlineMatchPipeline:
         )
         # sticky subgrid bucket: growth recompiles (rare), never shrink
         # mid-stream (each S is its own compiled program)
-        self._S = max(self._S, S_j)
-        G = m.grid_size
-        s_cap = m._max_sub()
-        if self._S >= G:
-            sox = soy = 0
-            self._S = min(self._S, s_cap)
-        else:
-            sox = int(np.clip(sox, 0, G - self._S))
-            soy = int(np.clip(soy, 0, G - self._S))
-        sub = np.asarray([[sox, soy]], dtype=np.int32)
+        self._S = min(max(self._S, S_j), m._max_sub())
+        step = dict(scan=scan, base=base, idx=idx, mask=mask, q_idx=q_idx,
+                    prev_idx=prev_idx, prior=prior, sox=sox, soy=soy)
+        self._base = (self._base + [scan])[-self.window:]
 
+        if self.block_dispatch:
+            self._pending.append(step)
+            if len(self._pending) >= self.sync_every:
+                self._dispatch_block()
+                self._sync()
+            return
+
+        np_dtype = np.dtype(m.dtype)
+        self._ensure_poses()
+        sox, soy = self._clip_sub(sox, soy, self._S)
+        sub = np.asarray([[sox, soy]], dtype=np.int32)
         prog = self._program(P, B, self._S)
         self._poses, packed = prog(
             m.library.fields, self._poses, idx, mask, q_idx, prev_idx,
             np.asarray(prior, dtype=np_dtype)[None], sub,
         )
         self._inflight.append(
-            (scan, base, packed, (sox, soy, self._S), prior)
+            ([(scan, base, (sox, soy, self._S), prior)], packed)
         )
-        self._base = (self._base + [scan])[-self.window:]
-        if len(self._inflight) >= self.sync_every:
+        self._n_inflight += 1
+        if self._n_inflight >= self.sync_every:
             self._sync()
+
+    def _dispatch_block(self):
+        """Block mode: run the buffered steps as one chained program."""
+        steps = self._pending
+        if not steps:
+            return
+        self._pending = []
+        m = self.m
+        K = len(steps)
+        P = m._point_cap
+        B = steps[0]["idx"].shape[1]
+        S = self._S
+        np_dtype = np.dtype(m.dtype)
+        self._ensure_poses()
+
+        idx = np.stack([st["idx"] for st in steps])
+        mask = np.stack([st["mask"] for st in steps])
+        q_idx = np.stack([st["q_idx"] for st in steps])
+        prev_idx = np.stack([st["prev_idx"] for st in steps])
+        prior = np.stack(
+            [np.asarray(st["prior"], dtype=np_dtype)[None] for st in steps]
+        )
+        subs = [self._clip_sub(st["sox"], st["soy"], S) for st in steps]
+        sub = np.asarray(subs, dtype=np.int32)[:, None, :]     # (K, 1, 2)
+
+        prog = self._block_program(P, B, S, K)
+        self._poses, packs = prog(
+            m.library.fields, self._poses, idx, mask, q_idx, prev_idx,
+            prior, sub,
+        )
+        entry = [
+            (st["scan"], st["base"], (sx, sy, S), st["prior"])
+            for st, (sx, sy) in zip(steps, subs)
+        ]
+        self._inflight.append((entry, packs))                  # (K, 1, 2, 8)
+        self._n_inflight += K
 
     def drain(self):
         """Return (and clear) results completed so far without forcing a
@@ -274,15 +363,26 @@ class OnlineMatchPipeline:
         )
 
     def _sync(self):
+        # block mode: a flush can arrive with a partial block still
+        # host-buffered — dispatch it first (its own K-sized program)
+        if self._pending:
+            self._dispatch_block()
         if not self._inflight:
             return
-        inflight = self._inflight
+        groups = self._inflight
         self._inflight = []
-        stacked = jnp.concatenate([p for (_, _, p, _, _) in inflight], axis=0)
-        host = np.asarray(stacked)                       # ONE transfer
+        self._n_inflight = 0
+        if len(groups) == 1:
+            host = np.asarray(groups[0][1]).reshape(-1, 2, 8)
+        else:
+            # ONE transfer: concat the groups' packed outputs on device
+            host = np.asarray(jnp.concatenate(
+                [p.reshape(-1, 2, 8) for (_, p) in groups], axis=0
+            ))
+        inflight = [st for (steps, _) in groups for st in steps]
         m = self.m
         redo_from = None
-        for k, ((scan, base, _, sub_used, prior), row) in enumerate(
+        for k, ((scan, base, sub_used, prior), row) in enumerate(
                 zip(inflight, host)):
             coarse, fine = row[0], row[1]
             # device-exact chain center for this step: previous scan's
@@ -310,7 +410,7 @@ class OnlineMatchPipeline:
             # match_scan applies response expansion internally.  One
             # match_scan per remaining step — no re-dispatch recursion.
             slots, vals = [], []
-            for scan, base, _, _, _ in inflight[redo_from:]:
+            for scan, base, _, _ in inflight[redo_from:]:
                 prev = base[-1]
                 scan.corrected_pose = prev.corrected_pose + (
                     scan.odom_pose - prev.odom_pose
