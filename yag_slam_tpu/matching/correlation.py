@@ -240,14 +240,13 @@ def build_occupancy_pallas(
     """Pallas twin of :func:`build_occupancy_padded`: same layout and
     bounds semantics, but the scatter runs as per-job VMEM stores instead
     of XLA's serialized scatter-max (~0.25 us/index on v5e).  Invalid
-    points are dumped at cell (0, Cpad-1).  ROW 0 is what makes the dump
-    safe: both smear paths read input rows in [ROW_TILE - h,
-    ROW_TILE + S + h) only, so row 0 is unread for any h < ROW_TILE
-    (asserted below; the column margin alone would NOT suffice when
-    Cpad == S + 2h — ADVICE r2)."""
+    points carry sy = -1 and are predicated away inside the kernel, whose
+    loop stops at the job's last valid lane (the padded tail — empty
+    base-scan slots + beam padding — is ~40% of lanes at defaults)."""
     from yag_slam_tpu.matching.pallas_kernels import (
         ROW_TILE,
         scatter_occupancy_pallas,
+        scatter_used_lanes,
     )
 
     assert 0 <= h < ROW_TILE, h
@@ -259,10 +258,13 @@ def build_occupancy_pallas(
     inb = (gx >= 0) & (gx < G) & (gy >= 0) & (gy < G) & keep
     sx = gx - sox[:, None, None] + h
     sy = gy - soy[:, None, None] + ROW_TILE
-    ok = inb & (sx >= 0) & (sx < Cpad) & (sy >= 0) & (sy < rows)
-    sy = jnp.where(ok, sy, 0).reshape(N, -1).astype(jnp.int32)
-    sx = jnp.where(ok, sx, Cpad - 1).reshape(N, -1).astype(jnp.int32)
-    occ = scatter_occupancy_pallas(sy, sx, rows=rows, Cpad=Cpad,
+    ok = (inb & (sx >= 0) & (sx < Cpad) & (sy >= 0) & (sy < rows)).reshape(
+        N, -1
+    )
+    sy = jnp.where(ok, sy.reshape(N, -1), -1).astype(jnp.int32)
+    sx = jnp.where(ok, sx.reshape(N, -1), 0).astype(jnp.int32)
+    occ = scatter_occupancy_pallas(sy, sx, scatter_used_lanes(ok),
+                                   rows=rows, Cpad=Cpad,
                                    interpret=interpret)
     # smear must run at full precision: the Gaussian taps quantize to
     # floor(100 * tap) downstream, and bf16 tap rounding could cross an
@@ -279,24 +281,27 @@ def build_quantized_grid_fused(
     build_occupancy_padded -> smear -> quantize_grid -> (row_ok & col_ok)
     masking; returns (N, S, S) bfloat16 quantized subgrids (integer values
     in [0, 100], exact in bf16)."""
-    from yag_slam_tpu.matching.pallas_kernels import build_grid_fused, _round_up
+    from yag_slam_tpu.matching.pallas_kernels import (
+        build_grid_fused, scatter_used_lanes,
+    )
 
     N = wx.shape[0]
-    R0 = _round_up(S + 2 * h + 1, 8) + 8
     gx = world_to_grid_idx(wx, ox[:, None, None], res)
     gy = world_to_grid_idx(wy, oy[:, None, None], res)
     inb = (gx >= 0) & (gx < G) & (gy >= 0) & (gy < G) & keep
     sx = gx - sox[:, None, None] + h
     sy = gy - soy[:, None, None] + h
     # scratch rows [h, S+h) / cols [h, S+h) hold the subgrid; anything the
-    # caller's subgrid selection missed is dumped at the unread cell
-    ok = inb & (sx >= 0) & (sx < Cpad) & (sy >= 0) & (sy < S + 2 * h)
-    sy = jnp.where(ok, sy, R0 - 1).reshape(N, -1).astype(jnp.int32)
-    sx = jnp.where(ok, sx, Cpad - 1).reshape(N, -1).astype(jnp.int32)
+    # caller's subgrid selection missed is predicated away (sy = -1)
+    ok = (inb & (sx >= 0) & (sx < Cpad) & (sy >= 0)
+          & (sy < S + 2 * h)).reshape(N, -1)
+    sy = jnp.where(ok, sy.reshape(N, -1), -1).astype(jnp.int32)
+    sx = jnp.where(ok, sx.reshape(N, -1), 0).astype(jnp.int32)
     lim = jnp.stack(
         [G - soy.astype(jnp.int32), G - sox.astype(jnp.int32)], axis=1
     )
-    return build_grid_fused(sy, sx, lim, S=S, h=h, taps=taps, Cpad=Cpad,
+    return build_grid_fused(sy, sx, lim, scatter_used_lanes(ok),
+                            S=S, h=h, taps=taps, Cpad=Cpad,
                             interpret=interpret)
 
 

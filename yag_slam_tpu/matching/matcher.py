@@ -70,9 +70,11 @@ _VIEW_KEYS = ("lx", "ly", "anchor", "term", "has_run")
 _SUB_BUCKETS = (512, 768, 1024, 1280, 1536, 1792, 2048, 2560, 3072, 4096,
                 8192)
 
-# VMEM-resident scoring: the padded+phase-split grid must fit VMEM next to
-# the kernel's accumulator and the double-buffered output blocks.
-_VMEM_SCORE_BUDGET = 12 * 1024 * 1024
+# VMEM-resident scoring: formula pre-reject for the padded+phase-split
+# grid next to the kernel's accumulator and output blocks; the Mosaic
+# compile probe (pallas_kernels.roll_scorer_ok / mxu_scorer_ok) makes the
+# real call, so this only needs to screen out hopeless layouts cheaply.
+_VMEM_SCORE_BUDGET = 14 * 1024 * 1024 + 512 * 1024
 
 # Occupancy scatter: one job's whole (S + 2*ROW_TILE, Cpad) bf16 grid is a
 # single VMEM scratch buffer in scatter_occupancy_pallas; stay inside the
@@ -506,6 +508,31 @@ class CorrelativeScanMatcher:
             S + 2 * PK.ROW_TILE, Cpad, M
         )
 
+        def pick_scorer(spec, stride):
+            """Scorer preference per (lattice, stride), decided here with
+            compile probes.  The roll kernel (4-wide-unrolled dynamic
+            VMEM block loads) measures fastest on v5e — 7.3 ms vs the MXU
+            one-hot contraction's 11.2 ms for the default coarse pass at
+            S=1536, batch 16 (profile_match.py r4) — so it leads when its
+            phase-split layout fits; the MXU kernel covers larger strides
+            and windows; window gathers and element gathers are the
+            portable fallbacks."""
+            if use_vmem and stride in (1, 2) and spec.nx <= 128:
+                _, ROWS_PAD, R, L, qb = C.vmem_score_layout(S, spec, stride)
+                RT = 2 * R if stride == 2 else R
+                if qb <= _VMEM_SCORE_BUDGET and PK.roll_scorer_ok(
+                        RT, L, ROWS_PAD, spec.nt, P):
+                    return "roll"
+            winx = stride * (spec.nx - 1) + 1
+            if use_vmem and winx <= 128 and spec.nx <= 128:
+                BR, NYPAD, _, R, L, qb = C.mxu_score_layout(S, spec, stride)
+                if qb <= _VMEM_SCORE_BUDGET and PK.mxu_scorer_ok(
+                        R, L, BR, NYPAD, stride, spec.nt, P):
+                    return "mxu"
+            if use_patch:
+                return "patch"
+            return "element"
+
         coarse_spec = C.LatticeSpec.from_search(
             0.0, 0.0, 0.0, cfg.search_size * 0.5, res * 2,
             coarse_offset * 0.5, cfg.coarse_angle_resolution,
@@ -514,6 +541,9 @@ class CorrelativeScanMatcher:
             0.0, 0.0, 0.0, res * 2, res,
             _FINE_ANGLE_SIZE, cfg.fine_search_angle_resolution,
         )
+        # coarse stride = (res*2)/res = 2, fine stride = 1 — static
+        choice_coarse = pick_scorer(coarse_spec, 2)
+        choice_fine = pick_scorer(fine_spec, 1)
 
         def core(lib, idx, mask, pose, q_ref, center, vp, sub):
             # lib: device library fields; idx (N, B) slots; q_ref is either
@@ -629,22 +659,16 @@ class CorrelativeScanMatcher:
 
             if use_fused or use_vmem or use_patch:
                 def score(*args, spec, **kw):
-                    # MXU one-hot-contraction kernel first (fastest; any
-                    # integer stride with a <=128-cell window), then the
-                    # roll-based VMEM kernel, then window gathers
-                    stride = int(round(kw["xy_res"] / res))
-                    winx = stride * (spec.nx - 1) + 1
-                    if use_vmem and winx <= 128 and spec.nx <= 128:
-                        *_, qb = C.mxu_score_layout(S, spec, stride)
-                        if qb <= _VMEM_SCORE_BUDGET:
-                            return C.score_lattice_mxu_batched(
-                                q_vm, *args, spec=spec, **kw)
-                    if use_vmem and stride in (1, 2) and spec.nx <= 128:
-                        _, _, _, _, qb = C.vmem_score_layout(S, spec, stride)
-                        if qb <= _VMEM_SCORE_BUDGET:
-                            return C.score_lattice_vmem_batched(
-                                q_vm, *args, spec=spec, **kw)
-                    if use_patch:
+                    # probe-picked per lattice (see pick_scorer)
+                    choice = (choice_coarse if spec is coarse_spec
+                              else choice_fine)
+                    if choice == "roll":
+                        return C.score_lattice_vmem_batched(
+                            q_vm, *args, spec=spec, hybrid=False, **kw)
+                    if choice == "mxu":
+                        return C.score_lattice_mxu_batched(
+                            q_vm, *args, spec=spec, **kw)
+                    if choice == "patch":
                         return C.score_lattice_patch_batched(
                             q2d, *args, spec=spec, **kw)
                     qflat = jnp.concatenate(

@@ -91,10 +91,15 @@ def _probe_save():
         pass
 
 
+# Bump when any kernel body changes: compiled-probe verdicts are only
+# valid for the code that was probed.
+_KERNEL_REV = 2
+
+
 def _probe(key_parts, thunk) -> bool:
     """True iff `thunk` (an AOT compile of the kernel at one static
     config) succeeds; cached in-process and on disk."""
-    key = "|".join(str(p) for p in key_parts)
+    key = "|".join(str(p) for p in (_KERNEL_REV, *key_parts))
     with _probe_lock:
         cache = _probe_load()
         hit = cache.get(key)
@@ -318,12 +323,13 @@ def fused_build_ok(S: int, h: int, Cpad: int, M: int) -> bool:
 
     def thunk():
         _aot(
-            lambda sy, sx, lim: build_grid_fused(
-                sy, sx, lim, S=S, h=h, taps=taps, Cpad=Cpad
+            lambda sy, sx, lim, mu: build_grid_fused(
+                sy, sx, lim, mu, S=S, h=h, taps=taps, Cpad=Cpad
             ),
             jax.ShapeDtypeStruct((1, M), i32),
             jax.ShapeDtypeStruct((1, M), i32),
             jax.ShapeDtypeStruct((1, 2), i32),
+            jax.ShapeDtypeStruct((1,), i32),
         )
 
     return _probe(("fused_build", jax.__version__, S, h, Cpad, M), thunk)
@@ -339,14 +345,61 @@ def scatter_ok(rows: int, Cpad: int, M: int) -> bool:
 
     def thunk():
         _aot(
-            lambda sy, sx: scatter_occupancy_pallas(
-                sy, sx, rows=rows, Cpad=Cpad
+            lambda sy, sx, mu: scatter_occupancy_pallas(
+                sy, sx, mu, rows=rows, Cpad=Cpad
             ),
             jax.ShapeDtypeStruct((1, M), i32),
             jax.ShapeDtypeStruct((1, M), i32),
+            jax.ShapeDtypeStruct((1,), i32),
         )
 
     return _probe(("scatter", jax.__version__, rows, Cpad, M), thunk)
+
+
+def roll_scorer_ok(RT: int, L: int, ROWS_PAD: int, K: int, P: int) -> bool:
+    """Can score_windows_pallas (the roll kernel) compile at this
+    layout?  (q_stack (1, RT, L) bf16 lives whole in VMEM scratch.)"""
+    if jax.default_backend() != "tpu":
+        return False
+    i32 = jnp.int32
+
+    def thunk():
+        _aot(
+            lambda q, r, c, n: score_windows_pallas(
+                q, r, c, n, ROWS_PAD=ROWS_PAD
+            ),
+            jax.ShapeDtypeStruct((1, RT, L), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, K, P), i32),
+            jax.ShapeDtypeStruct((1, K, P), i32),
+            jax.ShapeDtypeStruct((1,), i32),
+        )
+
+    return _probe(
+        ("roll_scorer", jax.__version__, RT, L, ROWS_PAD, K, P), thunk
+    )
+
+
+def mxu_scorer_ok(R: int, L: int, BR: int, NYPAD: int, stride: int, K: int,
+                  P: int) -> bool:
+    """Can score_windows_mxu_pallas compile at this layout?"""
+    if jax.default_backend() != "tpu":
+        return False
+    i32 = jnp.int32
+
+    def thunk():
+        _aot(
+            lambda q, r, c, n: score_windows_mxu_pallas(
+                q, r, c, n, BR=BR, NYPAD=NYPAD, stride=stride
+            ),
+            jax.ShapeDtypeStruct((1, R, L), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, K, P), i32),
+            jax.ShapeDtypeStruct((1, K, P), i32),
+            jax.ShapeDtypeStruct((1,), i32),
+        )
+
+    return _probe(
+        ("mxu_scorer", jax.__version__, R, L, BR, NYPAD, stride, K, P), thunk
+    )
 
 
 def smear_quantize_ok(S: int, h: int, Cpad: int) -> bool:
@@ -735,32 +788,43 @@ def score_windows_mxu_pallas(q_stack, row0, col0, n_pts, *, BR: int,
 # XLA lowers the 131k-index scatter-max of the grid build to a serialized
 # update loop (~0.25 us/point measured on v5e — 35 ms per 16-job batch).
 # Here each program owns one job's grid in VMEM, zero-fills it, and does
-# one (1, 1) dynamic store per point.  Invalid points are pre-pointed at a
-# dump cell in the column margin (columns >= S + 2h are never read by the
-# smear kernels).
+# one (1, 1) dynamic store per point.  Invalid points carry sy = -1 and
+# are predicated away; the loop stops at the job's last valid lane.
 # ---------------------------------------------------------------------------
 
-def _scatter_kernel(sy_ref, sx_ref, out_hbm, occ_vmem, sem, *, M):
-    n = pl.program_id(0)
-    occ_vmem[...] = jnp.zeros_like(occ_vmem)
+def _scatter_body(sy_ref, sx_ref, m_ref, occ_vmem):
+    """Shared scatter loop: one RMW per valid point, bounded by the
+    job's last-valid lane (m_ref), invalid lanes (sy < 0) predicated
+    away — the padded tail (empty base-scan slots + beam padding) is
+    ~40% of the lanes at the bench shapes."""
     rr = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
     def pt(p, carry):
         sy = sy_ref[0, 0, p]
-        sx = sx_ref[0, 0, p]
-        # dynamic stores must be (8, 128)-tile aligned: read-modify-write
-        # the aligned tile with a one-hot max
-        r8 = pl.multiple_of((sy // 8) * 8, 8)
-        c128 = pl.multiple_of((sx // 128) * 128, 128)
-        tile = occ_vmem[pl.ds(r8, 8), pl.ds(c128, 128)]
-        hit = (rr == sy - r8) & (cc == sx - c128)
-        occ_vmem[pl.ds(r8, 8), pl.ds(c128, 128)] = jnp.where(
-            hit, jnp.ones_like(tile), tile
-        )
+
+        @pl.when(sy >= 0)
+        def _():
+            sx = sx_ref[0, 0, p]
+            # dynamic stores must be (8, 128)-tile aligned:
+            # read-modify-write the aligned tile with a one-hot max
+            r8 = pl.multiple_of((sy // 8) * 8, 8)
+            c128 = pl.multiple_of((sx // 128) * 128, 128)
+            tile = occ_vmem[pl.ds(r8, 8), pl.ds(c128, 128)]
+            hit = (rr == sy - r8) & (cc == sx - c128)
+            occ_vmem[pl.ds(r8, 8), pl.ds(c128, 128)] = jnp.where(
+                hit, jnp.ones_like(tile), tile
+            )
+
         return carry
 
-    jax.lax.fori_loop(0, M, pt, 0)
+    jax.lax.fori_loop(0, m_ref[0, 0, 0], pt, 0)
+
+
+def _scatter_kernel(sy_ref, sx_ref, m_ref, out_hbm, occ_vmem, sem):
+    n = pl.program_id(0)
+    occ_vmem[...] = jnp.zeros_like(occ_vmem)
+    _scatter_body(sy_ref, sx_ref, m_ref, occ_vmem)
     # the grid doesn't fit VMEM double-buffered as an output block; ship
     # it to HBM manually from single-buffered scratch
     cp = pltpu.make_async_copy(occ_vmem, out_hbm.at[n], sem)
@@ -768,24 +832,36 @@ def _scatter_kernel(sy_ref, sx_ref, out_hbm, occ_vmem, sem, *, M):
     cp.wait()
 
 
+def scatter_used_lanes(ok):
+    """(N, M) validity mask -> (N,) last-valid-lane + 1 (the scatter
+    kernels' per-job loop bound)."""
+    M = ok.shape[-1]
+    any_valid = ok.any(axis=-1)
+    last = M - jnp.argmax(ok[:, ::-1], axis=-1)
+    return jnp.where(any_valid, last, 0).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("rows", "Cpad", "interpret"))
-def scatter_occupancy_pallas(sy, sx, *, rows: int, Cpad: int,
+def scatter_occupancy_pallas(sy, sx, m_used, *, rows: int, Cpad: int,
                              interpret: bool = False):
-    """sy/sx: (N, M) int32 padded-layout cells (invalid -> dump cell).
+    """sy/sx: (N, M) int32 scatter-layout cells (invalid -> -1);
+    m_used: (N,) int32 per-job loop bound (last valid lane + 1).
     Returns (N, rows, Cpad) bf16 occupancy indicators."""
     N, M = sy.shape
     # SMEM blocks must keep the trailing two dims whole; a unit middle
     # axis satisfies the (8, 128)-or-whole rule
     sy = sy.reshape(N, 1, M)
     sx = sx.reshape(N, 1, M)
-    kernel = partial(_scatter_kernel, M=M)
+    m_used = m_used.reshape(N, 1, 1)
     return pl.pallas_call(
-        kernel,
+        _scatter_kernel,
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, 1, M), lambda n: (n, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, M), lambda n: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda n: (n, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -800,7 +876,7 @@ def scatter_occupancy_pallas(sy, sx, *, rows: int, Cpad: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(sy, sx)
+    )(sy, sx, m_used)
 
 
 # ---------------------------------------------------------------------------
@@ -818,10 +894,9 @@ def scatter_occupancy_pallas(sy, sx, *, rows: int, Cpad: int,
 #
 # Layout contract:
 #   sy, sx: (N, M) int32 scratch-layout cells (row = subrow + h, col =
-#           subcol + h); invalid points at the dump cell (R0-1, Cpad-1),
-#           which no strip read ever touches (strips read rows
-#           [i*128, i*128 + RS) with RS = round_up(128 + 2h, 8) and
-#           R0 = round_up(S + 2h + 1, 8) + 8 > S - 128 + RS).
+#           subcol + h); invalid points carry sy = -1 and are predicated
+#           away inside the scatter loop, which only runs to the job's
+#           last valid lane (m_used).
 #   lim:    (N, 2) int32 = (G - soy, G - sox): first out-of-full-grid
 #           row/col in subgrid coords (>= S when no masking needed).
 # Output: (N, S, S) bfloat16 — quantized smeared subgrids (values are
@@ -831,30 +906,15 @@ def scatter_occupancy_pallas(sy, sx, *, rows: int, Cpad: int,
 # itself is exact in bf16.
 # ---------------------------------------------------------------------------
 
-def _fused_build_kernel(sy_ref, sx_ref, lim_ref, out_hbm, occ_vmem,
-                        stage_vmem, sem, *, M, S, h, taps, RS):
+def _fused_build_kernel(sy_ref, sx_ref, lim_ref, m_ref, out_hbm, occ_vmem,
+                        stage_vmem, sem, *, S, h, taps, RS):
     n = pl.program_id(0)
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         occ_vmem[...] = jnp.zeros_like(occ_vmem)
-        rr = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-
-        def pt(p, carry):
-            sy = sy_ref[0, 0, p]
-            sx = sx_ref[0, 0, p]
-            r8 = pl.multiple_of((sy // 8) * 8, 8)
-            c128 = pl.multiple_of((sx // 128) * 128, 128)
-            tile = occ_vmem[pl.ds(r8, 8), pl.ds(c128, 128)]
-            hit = (rr == sy - r8) & (cc == sx - c128)
-            occ_vmem[pl.ds(r8, 8), pl.ds(c128, 128)] = jnp.where(
-                hit, jnp.ones_like(tile), tile
-            )
-            return carry
-
-        jax.lax.fori_loop(0, M, pt, 0)
+        _scatter_body(sy_ref, sx_ref, m_ref, occ_vmem)
 
     row0 = pl.multiple_of(i * ROW_TILE, ROW_TILE)
     strip = occ_vmem[pl.ds(row0, RS), :].astype(jnp.float32)
@@ -904,10 +964,11 @@ def fused_build_vmem_bytes(S: int, h: int, Cpad: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("S", "h", "taps", "Cpad", "interpret"))
-def build_grid_fused(sy, sx, lim, *, S: int, h: int, taps: tuple, Cpad: int,
-                     interpret: bool = False):
-    """sy/sx: (N, M) int32 scratch-layout cells (invalid -> dump cell);
-    lim: (N, 2) int32 (row_hi, col_hi) full-grid bounds in subgrid coords.
+def build_grid_fused(sy, sx, lim, m_used, *, S: int, h: int, taps: tuple,
+                     Cpad: int, interpret: bool = False):
+    """sy/sx: (N, M) int32 scratch-layout cells (invalid -> -1);
+    lim: (N, 2) int32 (row_hi, col_hi) full-grid bounds in subgrid coords;
+    m_used: (N,) int32 per-job scatter loop bound (last valid lane + 1).
     Returns (N, S, S) bfloat16 quantized smeared correlation subgrids."""
     N, M = sy.shape
     assert S % ROW_TILE == 0, S
@@ -918,7 +979,8 @@ def build_grid_fused(sy, sx, lim, *, S: int, h: int, taps: tuple, Cpad: int,
     sy = sy.reshape(N, 1, M)
     sx = sx.reshape(N, 1, M)
     lim = lim.reshape(N, 1, 2)
-    kernel = partial(_fused_build_kernel, M=M, S=S, h=h, taps=taps, RS=RS)
+    m_used = m_used.reshape(N, 1, 1)
+    kernel = partial(_fused_build_kernel, S=S, h=h, taps=taps, RS=RS)
     return pl.pallas_call(
         kernel,
         grid=(N, n_strips),
@@ -928,6 +990,8 @@ def build_grid_fused(sy, sx, lim, *, S: int, h: int, taps: tuple, Cpad: int,
             pl.BlockSpec((1, 1, M), lambda n, i: (n, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 2), lambda n, i: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda n, i: (n, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -943,7 +1007,7 @@ def build_grid_fused(sy, sx, lim, *, S: int, h: int, taps: tuple, Cpad: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(sy, sx, lim)
+    )(sy, sx, lim, m_used)
 
 
 def pallas_available() -> bool:
