@@ -134,3 +134,35 @@ def test_checkpoint_file_roundtrip(tmp_path, slam_run):
     slam.to_file(str(path))
     restored = GraphSlam.from_file(str(path))
     assert len(restored.graph.vertices) == len(slam.graph.vertices)
+
+
+def test_stream_matches_sequential_processing():
+    """GraphSlam.process_scan_stream (pipeline-matched blocks, loop
+    closure at sync boundaries, closure-redo sweep) must reproduce the
+    per-scan process_scan loop exactly: same trajectory, same closures,
+    same graph."""
+    gt, odom, scans_a = build_sequence(laps=2)
+    _, _, scans_b = build_sequence(laps=2)
+
+    slam_seq = make_slam()
+    seq_out = [slam_seq.process_scan(s) for s in scans_a]
+
+    slam_str = make_slam()
+    str_out = slam_str.process_scan_stream(scans_b, sync_every=6)
+
+    assert len(str_out) == len(seq_out)
+    assert slam_str.stats["loop_closures"] == slam_seq.stats["loop_closures"]
+    assert slam_str.stats["loop_closures"] >= 1
+    assert len(slam_str.graph.edges) == len(slam_seq.graph.edges)
+    for (ra, ca), (rb, cb) in zip(seq_out, str_out):
+        assert (ra is None) == (rb is None)
+        if ra is None:
+            continue
+        assert bool(ca) == bool(cb)
+        assert rb.response == pytest.approx(ra.response, abs=1e-9)
+    for sa, sb in zip(scans_a, scans_b):
+        pa, pb = sa.corrected_pose, sb.corrected_pose
+        np.testing.assert_allclose(
+            [pb.x, pb.y, pb.euler[-1]], [pa.x, pa.y, pa.euler[-1]],
+            atol=1e-9,
+        )

@@ -157,19 +157,19 @@ class OnlineMapper:
         return True
 
     # -- main entry -------------------------------------------------------------
-    def add_scan(
+    def _prepare_scan(
         self, ranges, angle_min, angle_max, angle_increment, range_min,
         range_max, odom_pose, invert=False,
     ):
-        """Feed one scan (odom_pose = (x, y, theta) of the sensor in the
-        odom frame).  Returns (integrated, match_result, closed)."""
+        """Motion-gate + build the LocalizedRangeScan; None if the scan
+        should not be integrated."""
         pose = (
             (odom_pose.x, odom_pose.y, odom_pose.euler[-1])
             if isinstance(odom_pose, Transform)
             else tuple(float(v) for v in odom_pose)
         )
         if not self._should_integrate(pose):
-            return False, None, None
+            return None
 
         r = np.asarray(ranges, dtype=np.float64)
         if invert:
@@ -178,10 +178,30 @@ class OnlineMapper:
             r, angle_min, angle_max, angle_increment, range_min, range_max,
             self.range_threshold, pose[0], pose[1], pose[2],
         )
-
         if self.initial_pose is not None:
             scan.odom_pose = Transform.from_xyt(*self.initial_pose)
             scan.corrected_pose = Transform.from_xyt(*self.initial_pose)
+        return scan
+
+    def _after_scan(self, closed):
+        self._scan_counter += 1
+        if self.map_callback and (
+            self._scan_counter % self.map_every_n_scans == 0 or closed
+        ):
+            self.map_callback(*self.render_map())
+
+    def add_scan(
+        self, ranges, angle_min, angle_max, angle_increment, range_min,
+        range_max, odom_pose, invert=False,
+    ):
+        """Feed one scan (odom_pose = (x, y, theta) of the sensor in the
+        odom frame).  Returns (integrated, match_result, closed)."""
+        scan = self._prepare_scan(
+            ranges, angle_min, angle_max, angle_increment, range_min,
+            range_max, odom_pose, invert,
+        )
+        if scan is None:
+            return False, None, None
 
         if (not self.slam.running_scans and self._base_scans
                 and self.initial_pose is not None):
@@ -202,12 +222,19 @@ class OnlineMapper:
             self.initial_pose = None
             res, closed = self.slam.process_scan(scan)
 
-        self._scan_counter += 1
-        if self.map_callback and (
-            self._scan_counter % self.map_every_n_scans == 0 or closed
-        ):
-            self.map_callback(*self.render_map())
+        self._after_scan(closed)
         return True, res, closed
+
+    def add_scans_batch(self, prepared_scans):
+        """Process several already-prepared scans through the streamed
+        SLAM path (GraphSlam.process_scan_stream) — the backpressure
+        branch of the threaded mapper.  Returns the list of
+        (match_result, closed)."""
+        self.initial_pose = None
+        out = self.slam.process_scan_stream(prepared_scans)
+        for _, closed in out:
+            self._after_scan(closed)
+        return out
 
     # -- outputs ---------------------------------------------------------------
     def map_to_odom(self):
@@ -257,17 +284,49 @@ class ThreadedOnlineMapper(OnlineMapper):
         counter = 0
         while not self._stop.is_set():
             try:
-                args, kwargs = self._queue.get(timeout=0.2)
+                item = self._queue.get(timeout=0.2)
             except queue.Empty:
                 continue
-            integrated, _, closed = self.add_scan(*args, **kwargs)
-            if integrated:
-                counter += 1
-                if (counter >= self.map_every_n_scans or closed) and \
+            batch = [item]
+            # backpressure adaptation: if the robot outruns per-scan
+            # processing, drain the backlog (bounded) and run it as ONE
+            # streamed block (GraphSlam.process_scan_stream — device-
+            # chained matching, loop closure at sync boundaries); at
+            # queue depth 1 the per-scan path keeps latency minimal
+            can_batch = bool(self.slam.running_scans) and not (
+                self._base_scans and self.initial_pose is not None
+            )
+            if can_batch:
+                while len(batch) < 16:
+                    try:
+                        batch.append(self._queue.get_nowait())
+                    except queue.Empty:
+                        break
+            if len(batch) == 1 or not can_batch:
+                n_done = 0
+                closed_any = False
+                for args, kwargs in batch:
+                    integrated, _, closed = self.add_scan(*args, **kwargs)
+                    n_done += bool(integrated)
+                    closed_any |= bool(closed)
+                    self._queue.task_done()
+            else:
+                scans = []
+                for args, kwargs in batch:
+                    s = self._prepare_scan(*args, **kwargs)
+                    if s is not None:
+                        scans.append(s)
+                out = self.add_scans_batch(scans) if scans else []
+                for _ in batch:
+                    self._queue.task_done()
+                n_done = len(scans)
+                closed_any = any(bool(c) for _, c in out)
+            if n_done:
+                counter += n_done
+                if (counter >= self.map_every_n_scans or closed_any) and \
                         self._map_queue.qsize() == 0:
                     self._map_queue.put(True)
                     counter = 0
-            self._queue.task_done()
 
     def _map_run(self):
         while not self._stop.is_set():
@@ -280,11 +339,13 @@ class ThreadedOnlineMapper(OnlineMapper):
             self._map_queue.task_done()
 
     def drain(self, timeout=60.0):
-        """Block until all enqueued scans are processed."""
+        """Block until all enqueued scans are processed (tracked via
+        task_done, not queue emptiness — the worker removes a backlog
+        batch from the queue before processing it)."""
         deadline = time.time() + timeout
-        while not self._queue.empty() and time.time() < deadline:
+        while self._queue.unfinished_tasks and time.time() < deadline:
             time.sleep(0.05)
-        return self._queue.empty()
+        return self._queue.unfinished_tasks == 0
 
     def close(self):
         self._stop.set()

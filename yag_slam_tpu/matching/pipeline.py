@@ -282,13 +282,22 @@ class OnlineMatchPipeline:
         m = self.m
         K = len(steps)
         P = m._point_cap
-        B = steps[0]["idx"].shape[1]
+        # the base bucket can differ across buffered steps while the
+        # window is still filling; pad to the block's max (idx 0 +
+        # mask False slots are exact no-ops in the core)
+        B = max(st["idx"].shape[1] for st in steps)
         S = self._S
         np_dtype = np.dtype(m.dtype)
         self._ensure_poses()
 
-        idx = np.stack([st["idx"] for st in steps])
-        mask = np.stack([st["mask"] for st in steps])
+        def pad_b(a, fill):
+            pad = B - a.shape[1]
+            if pad == 0:
+                return a
+            return np.pad(a, ((0, 0), (0, pad)), constant_values=fill)
+
+        idx = np.stack([pad_b(st["idx"], 0) for st in steps])
+        mask = np.stack([pad_b(st["mask"], False) for st in steps])
         q_idx = np.stack([st["q_idx"] for st in steps])
         prev_idx = np.stack([st["prev_idx"] for st in steps])
         prior = np.stack(

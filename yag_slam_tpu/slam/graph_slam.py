@@ -425,6 +425,12 @@ class GraphSlam:
         self.stats["match_time_total"] += time.time() - t0
         query.corrected_pose = res.best_pose
 
+        closed = self._post_match(query, res)
+        return res, closed
+
+    def _post_match(self, query, res):
+        """Bookkeeping after a sequential match (the tail of
+        process_scan): vertex + edges, loop closure, window update."""
         self.add_vertex(query)
         self.add_edges(query, res.covariance)
 
@@ -432,8 +438,84 @@ class GraphSlam:
 
         self.running_scans.append(query)
         self.running_scans = self.running_scans[-self.scan_buffer_len:]
+        return closed
 
-        return res, closed
+    def process_scan_stream(self, scans, sync_every=8, block_dispatch=True):
+        """Streaming bulk ingestion: sequential matching through the
+        device-chained pipeline (matching/pipeline.py — with
+        block_dispatch, one device program + one readback per
+        `sync_every` scans), graph bookkeeping and loop closure at each
+        sync boundary.
+
+        Semantically equal to calling :meth:`process_scan` per scan: when
+        a loop closure fires mid-block, the remaining matches of that
+        block were computed against pre-optimization poses, so they are
+        redone through the blocking path — exactly what the sequential
+        loop would have produced — and the pipeline's device pose state
+        is re-seeded from the optimized window.  Returns a list of
+        (match_result, closed) aligned with `scans` ((None, None) for the
+        very first scan of a fresh map)."""
+        from yag_slam_tpu.matching.pipeline import OnlineMatchPipeline
+
+        out = []
+        pipe = None
+        buf = []
+
+        def flush_block():
+            t0 = time.time()
+            results = pipe.flush()
+            self.stats["match_time_total"] += time.time() - t0
+            redo_from = None
+            for i, (scan, res) in enumerate(zip(buf, results)):
+                self.stats["scans_processed"] += 1
+                closed = self._post_match(scan, res)
+                out.append((res, closed))
+                if closed:
+                    redo_from = i + 1
+                    break
+            if redo_from is not None:
+                for scan in buf[redo_from:]:
+                    last = self.running_scans[-1]
+                    scan.corrected_pose = last.corrected_pose + (
+                        scan.odom_pose - last.odom_pose
+                    )
+                    t0 = time.time()
+                    res = self.seq_matcher.match_scan(
+                        scan, self.running_scans, True, True
+                    )
+                    self.stats["match_time_total"] += time.time() - t0
+                    scan.corrected_pose = res.best_pose
+                    self.stats["scans_processed"] += 1
+                    closed = self._post_match(scan, res)
+                    out.append((res, closed))
+                # re-align the pipeline's device poses with the
+                # optimized window
+                pipe.seed(self.running_scans)
+            del buf[:]
+
+        for scan in scans:
+            if len(self.running_scans) == 0:
+                scan.num = 0
+                self.running_scans.append(scan)
+                self.add_vertex(scan)
+                self.stats["scans_processed"] += 1
+                out.append((None, None))
+                continue
+            if pipe is None:
+                pipe = OnlineMatchPipeline(
+                    self.seq_matcher, window=self.scan_buffer_len,
+                    sync_every=sync_every, block_dispatch=block_dispatch,
+                )
+                pipe.seed(self.running_scans)
+            prev = buf[-1] if buf else self.running_scans[-1]
+            scan.num = prev.num + 1
+            pipe.push(scan)
+            buf.append(scan)
+            if len(buf) >= sync_every:
+                flush_block()
+        if pipe is not None and buf:
+            flush_block()
+        return out
 
     # -- mapping ---------------------------------------------------------------
     def make_occupancy_grid(self, resolution=0.05, range_threshold=12):
