@@ -93,7 +93,7 @@ def _probe_save():
 
 # Bump when any kernel body changes: compiled-probe verdicts are only
 # valid for the code that was probed.
-_KERNEL_REV = 2
+_KERNEL_REV = 3
 
 
 def _probe(key_parts, thunk) -> bool:
@@ -796,11 +796,14 @@ def _scatter_body(sy_ref, sx_ref, m_ref, occ_vmem):
     """Shared scatter loop: one RMW per valid point, bounded by the
     job's last-valid lane (m_ref), invalid lanes (sy < 0) predicated
     away — the padded tail (empty base-scan slots + beam padding) is
-    ~40% of the lanes at the bench shapes."""
+    ~40% of the lanes at the bench shapes.  Two points per iteration
+    amortize the loop/scalar overhead; the RMWs stay program-ordered, so
+    pairs hitting the same (8, 128) tile remain correct (Mosaic cannot
+    reorder potentially-aliasing dynamic accesses)."""
     rr = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
-    def pt(p, carry):
+    def one(p):
         sy = sy_ref[0, 0, p]
 
         @pl.when(sy >= 0)
@@ -816,9 +819,12 @@ def _scatter_body(sy_ref, sx_ref, m_ref, occ_vmem):
                 hit, jnp.ones_like(tile), tile
             )
 
+    def pt2(q, carry):
+        one(2 * q)
+        one(2 * q + 1)     # lane m_used (odd tails) carries sy = -1
         return carry
 
-    jax.lax.fori_loop(0, m_ref[0, 0, 0], pt, 0)
+    jax.lax.fori_loop(0, (m_ref[0, 0, 0] + 1) // 2, pt2, 0)
 
 
 def _scatter_kernel(sy_ref, sx_ref, m_ref, out_hbm, occ_vmem, sem):
