@@ -93,7 +93,7 @@ def _probe_save():
 
 # Bump when any kernel body changes: compiled-probe verdicts are only
 # valid for the code that was probed.
-_KERNEL_REV = 3
+_KERNEL_REV = 4
 
 
 def _probe(key_parts, thunk) -> bool:
@@ -208,7 +208,8 @@ def smear_grid_xla(occ_padded, *, h: int, S: int, taps: tuple):
 # it past S=1024).  Unlike build_grid_fused it does NOT hold the whole
 # occupancy grid in VMEM — per-program VMEM is O(ROW_TILE * Cpad) — so it
 # compiles at subgrid sizes the fully-fused kernel cannot (probe-verified:
-# fused dies at S=1792 on v5e, this runs at S=4096).
+# fused dies at S=1792 on v5e; lane-chunked temporaries keep this one
+# compiling at any S (probe-verified to 4096)..
 #
 # Layout contract: occ (N, S + 2*ROW_TILE, Cpad) bf16 per the scatter
 # layout (occupied rows at +ROW_TILE, columns at +h); lim (N, 2) int32 =
@@ -217,36 +218,47 @@ def smear_grid_xla(occ_padded, *, h: int, S: int, taps: tuple):
 # through floor(100*x); bf16 tap rounding could cross an integer boundary).
 # ---------------------------------------------------------------------------
 
+# Lane-chunked processing: the f32 strip/accumulator temporaries scale
+# with the chunk width, not S, so the kernel compiles at any S (whole-row
+# processing exceeded scoped VMEM at S>=2560 on v5e).
+_SQ_CHUNK = 1024
+
+
 def _smear_quantize_kernel(lim_ref, prev_ref, cur_ref, nxt_ref, out_hbm,
                            stage_vmem, sem, *, h, S, taps):
     n = pl.program_id(0)
     i = pl.program_id(1)
-    strip = jnp.concatenate(
-        [prev_ref[0, ROW_TILE - h :, :], cur_ref[0], nxt_ref[0, :h, :]],
-        axis=0,
-    ).astype(jnp.float32)
-    # pass 1 (lanes); tap symmetry (taps[d] == taps[2h-d], all > 0):
-    # max(t*a, t*b) == t*max(a, b)
-    acc = taps[h] * strip[:, h : h + S]
-    for d in range(h):
-        m = jnp.maximum(strip[:, d : d + S],
-                        strip[:, 2 * h - d : 2 * h - d + S])
-        acc = jnp.maximum(acc, taps[d] * m)
-    # pass 2 (sublanes)
-    acc2 = taps[h] * acc[h : h + ROW_TILE, :]
-    for d in range(h):
-        m = jnp.maximum(
-            acc[d : d + ROW_TILE, :], acc[2 * h - d : 2 * h - d + ROW_TILE, :]
-        )
-        acc2 = jnp.maximum(acc2, taps[d] * m)
-
-    q = jnp.floor(acc2 * 100.0)
     row_hi = lim_ref[0, 0, 0] - i * ROW_TILE
     col_hi = lim_ref[0, 0, 1]
-    rr = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, S), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, S), 1)
-    q = jnp.where((rr < row_hi) & (cc < col_hi), q, 0.0)
-    stage_vmem[...] = q.astype(jnp.bfloat16)
+    for c0 in range(0, S, _SQ_CHUNK):
+        W = min(_SQ_CHUNK, S - c0)
+        sl = slice(c0, c0 + W + 2 * h)    # occupied cols live at +h
+        strip = jnp.concatenate(
+            [prev_ref[0, ROW_TILE - h :, sl], cur_ref[0, :, sl],
+             nxt_ref[0, :h, sl]],
+            axis=0,
+        ).astype(jnp.float32)
+        # pass 1 (lanes); tap symmetry (taps[d] == taps[2h-d], all > 0):
+        # max(t*a, t*b) == t*max(a, b)
+        acc = taps[h] * strip[:, h : h + W]
+        for d in range(h):
+            m = jnp.maximum(strip[:, d : d + W],
+                            strip[:, 2 * h - d : 2 * h - d + W])
+            acc = jnp.maximum(acc, taps[d] * m)
+        # pass 2 (sublanes)
+        acc2 = taps[h] * acc[h : h + ROW_TILE, :]
+        for d in range(h):
+            m = jnp.maximum(
+                acc[d : d + ROW_TILE, :],
+                acc[2 * h - d : 2 * h - d + ROW_TILE, :],
+            )
+            acc2 = jnp.maximum(acc2, taps[d] * m)
+
+        q = jnp.floor(acc2 * 100.0)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, W), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, W), 1)
+        q = jnp.where((rr < row_hi) & (cc + c0 < col_hi), q, 0.0)
+        stage_vmem[:, c0 : c0 + W] = q.astype(jnp.bfloat16)
 
     row0 = pl.multiple_of(i * ROW_TILE, ROW_TILE)
     cp = pltpu.make_async_copy(
