@@ -93,7 +93,7 @@ def _probe_save():
 
 # Bump when any kernel body changes: compiled-probe verdicts are only
 # valid for the code that was probed.
-_KERNEL_REV = 4
+_KERNEL_REV = 5
 
 
 def _probe(key_parts, thunk) -> bool:
@@ -486,24 +486,31 @@ def _score_kernel(n_ref, row_ref, col_ref, q_hbm, out_ref, q_vmem, sem, *,
         blk = pltpu.roll(blk, 256 - (c0 - c128), 1)
         return blk[:ROWS_PAD, :128]
 
-    # Four points per iteration into independent accumulators: the body
+    # Eight points per iteration into independent accumulators: the body
     # is latency-bound on the load->roll->add chain, and the chains
     # interleave.  The tail is free: the producer's point lanes past the
     # true count are FAR sentinels pointed at the zero margin (and n == P
-    # can only happen at a 128-multiple P), so reading indices n..n+2
+    # can only happen at a 128-multiple P), so reading indices n..n+6
     # contributes exactly 0.
-    def pt4(q, accs):
-        a1, a2, a3, a4 = accs
-        return (a1 + window(4 * q), a2 + window(4 * q + 1),
-                a3 + window(4 * q + 2), a4 + window(4 * q + 3))
+    UNROLL = 8
+
+    def ptN(q, accs):
+        return tuple(
+            a + window(UNROLL * q + j) for j, a in enumerate(accs)
+        )
 
     # loop to the job's true point count (lanes past n are FAR sentinels
     # pointed at the zero margin — skipping them is exact)
     zero = jnp.zeros((ROWS_PAD, 128), jnp.float32)
-    a1, a2, a3, a4 = jax.lax.fori_loop(
-        0, (n_ref[0, 0, 0] + 3) // 4, pt4, (zero, zero, zero, zero)
+    accs = jax.lax.fori_loop(
+        0, (n_ref[0, 0, 0] + UNROLL - 1) // UNROLL, ptN, (zero,) * UNROLL
     )
-    out_ref[0, 0] = (a1 + a2) + (a3 + a4)
+    while len(accs) > 1:
+        accs = tuple(
+            accs[j] + accs[j + len(accs) // 2]
+            for j in range(len(accs) // 2)
+        )
+    out_ref[0, 0] = accs[0]
 
 
 @partial(jax.jit, static_argnames=("ROWS_PAD", "interpret"))
