@@ -179,7 +179,7 @@ def main():
                     g = C.build_quantized_grid_strip(
                         wx_, wy, keep, ox, oy, sox, soy,
                         G=G, S=S, h=h, Cpad=Cpad, res=res, taps=taps,
-                        dtype=dtype, pallas_scatter=psc)
+                        pallas_scatter=psc)
                     return wx_ + g[:, 0, 0][:, None, None].astype(
                         wx_.dtype) * 0
 

@@ -502,13 +502,9 @@ def test_scatter_occupancy_pallas_matches_padded():
         wx, wy, keep, ox, oy, sox, soy, **kw))
     out = np.asarray(C.build_occupancy_pallas(
         wx, wy, keep, ox, oy, sox, soy, interpret=True, **kw))
-    # the pallas path parks invalid points at the dump cell (0, Cpad-1):
-    # row 0 is outside every row the smear kernels read (see
-    # build_occupancy_pallas docstring), so compare the read region
-    # exactly and assert nothing else but the dump cell differs
-    np.testing.assert_array_equal(out[:, 1:, :], ref[:, 1:, :])
-    diff0 = out[:, 0, :] != ref[:, 0, :]
-    assert not diff0[:, : Cpad - 1].any()
+    # invalid points are predicated away inside the kernel (sy = -1), so
+    # the grids must be identical cell-for-cell — no dump-cell carve-out
+    np.testing.assert_array_equal(out, ref)
 
 
 def test_smear_grid_pallas_matches_xla():
@@ -586,13 +582,13 @@ def test_fused_build_matches_staged_pipeline():
     # identical quantized/masked grid — it is the S>=1792 throughput path
     # where the fully-fused kernel's occupancy scratch no longer fits VMEM
     out_strip = np.asarray(C.build_quantized_grid_strip(
-        wx, wy, keep, ox, oy, sox, soy, taps=taps, dtype=np.float32,
+        wx, wy, keep, ox, oy, sox, soy, taps=taps,
         pallas_scatter=True, interpret=True, **kw
     ).astype(np.float32))
     np.testing.assert_array_equal(out_strip, ref)
     # and with the XLA scatter front end (the huge-S fallback)
     out_strip2 = np.asarray(C.build_quantized_grid_strip(
-        wx, wy, keep, ox, oy, sox, soy, taps=taps, dtype=np.float32,
+        wx, wy, keep, ox, oy, sox, soy, taps=taps,
         pallas_scatter=False, interpret=True, **kw
     ).astype(np.float32))
     np.testing.assert_array_equal(out_strip2, ref)

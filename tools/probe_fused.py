@@ -25,13 +25,14 @@ def probe(S, h, M=2560):
     sy = jnp.zeros((1, M), dtype=jnp.int32)
     sx = jnp.zeros((1, M), dtype=jnp.int32)
     lim = jnp.full((1, 2), S, dtype=jnp.int32)
+    mu = jnp.full((1,), M, dtype=jnp.int32)
     try:
         fn = jax.jit(
-            lambda a, b, c: build_grid_fused(
-                a, b, c, S=S, h=h, taps=taps, Cpad=Cpad
+            lambda a, b, c, d: build_grid_fused(
+                a, b, c, d, S=S, h=h, taps=taps, Cpad=Cpad
             )
         )
-        fn.lower(sy, sx, lim).compile()
+        fn.lower(sy, sx, lim, mu).compile()
         print(f"S={S} h={h} Cpad={Cpad} est={est/1e6:.2f}MB  OK")
         return True
     except Exception as e:

@@ -96,7 +96,11 @@ def main():
         else:
             path = "staged"
         G = m.grid_size
-        sox = soy = 0 if S >= G else int(np.clip(int(sub0[0, 0]), 0, G - S))
+        if S >= G:
+            sox = soy = 0
+        else:
+            sox = int(np.clip(int(sub0[0, 0]), 0, G - S))
+            soy = int(np.clip(int(sub0[0, 1]), 0, G - S))
         sub = np.asarray([[sox, soy]], dtype=np.int32)
         t0 = time.time()
         try:

@@ -293,8 +293,11 @@ class ThreadedOnlineMapper(OnlineMapper):
             # streamed block (GraphSlam.process_scan_stream — device-
             # chained matching, loop closure at sync boundaries); at
             # queue depth 1 the per-scan path keeps latency minimal
-            can_batch = bool(self.slam.running_scans) and not (
-                self._base_scans and self.initial_pose is not None
+            # never batch while an initial_pose override is pending: the
+            # per-scan path applies it to exactly ONE scan then clears it,
+            # but _prepare_scan would stamp it onto every drained scan
+            can_batch = (
+                bool(self.slam.running_scans) and self.initial_pose is None
             )
             if can_batch:
                 while len(batch) < 16:

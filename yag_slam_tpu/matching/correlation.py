@@ -306,7 +306,7 @@ def build_quantized_grid_fused(
 
 
 def build_quantized_grid_strip(
-    wx, wy, keep, ox, oy, sox, soy, *, G, S, h, Cpad, res, taps, dtype,
+    wx, wy, keep, ox, oy, sox, soy, *, G, S, h, Cpad, res, taps,
     pallas_scatter=True, interpret=False,
 ):
     """Two-kernel grid build for subgrids too big for the fully-fused

@@ -588,7 +588,7 @@ class CorrelativeScanMatcher:
                 q2d16 = C.build_quantized_grid_strip(
                     wx, wy, keep, ox, oy, sox, soy,
                     G=G, S=S, h=h, Cpad=Cpad, res=res, taps=taps,
-                    dtype=dtype, pallas_scatter=strip_pallas_scatter,
+                    pallas_scatter=strip_pallas_scatter,
                 )
             else:
                 # The scatter kernel holds one job's whole (S + 2*ROW_TILE,

@@ -96,20 +96,38 @@ def _probe_save():
 _KERNEL_REV = 5
 
 
+def _device_kind() -> str:
+    try:
+        return jax.devices()[0].device_kind.replace(" ", "_")
+    except Exception:  # pragma: no cover
+        return "unknown"
+
+
 def _probe(key_parts, thunk) -> bool:
     """True iff `thunk` (an AOT compile of the kernel at one static
-    config) succeeds; cached in-process and on disk."""
-    key = "|".join(str(p) for p in (_KERNEL_REV, *key_parts))
+    config) succeeds; cached in-process and on disk (keyed by kernel
+    revision, jax version and accelerator kind — a verdict from one chip
+    generation must not survive a hardware swap).
+
+    A genuine Mosaic rejection is deterministic, while the remote-compile
+    path can also fail transiently (tunnel RPC drops; both present as
+    opaque INTERNAL errors) — so a failure is retried once before the
+    False verdict is cached (a mis-cached False would silently pin the
+    slow build path; delete .pallas_probe_cache.json to re-probe)."""
+    key = "|".join(str(p) for p in (_KERNEL_REV, _device_kind(), *key_parts))
     with _probe_lock:
         cache = _probe_load()
         hit = cache.get(key)
         if hit is not None:
             return hit
-    try:
-        thunk()
-        ok = True
-    except Exception:
-        ok = False
+    ok = False
+    for _ in range(2):
+        try:
+            thunk()
+            ok = True
+            break
+        except Exception:
+            pass
     with _probe_lock:
         cache = _probe_load()
         cache[key] = ok

@@ -171,19 +171,27 @@ class OnlineMatchPipeline:
         """K chained steps as ONE program: lax.scan carries the device
         pose array through the per-step core, so a whole sync window runs
         on one dispatch + one readback (the step bodies are identical, so
-        XLA compiles the scan body once regardless of K)."""
+        XLA compiles the scan body once regardless of K).  Partial blocks
+        at flush are padded to the canonical K with valid=False steps
+        (all-masked grid, pose write suppressed) so every flush cadence
+        reuses ONE compiled program instead of compiling per tail size."""
         key = (P, B, S, "block", K)
         prog = self._progs.get(key)
         if prog is None:
             step = self._make_step(P, B, S)
 
-            def block(lib, poses, idx, mask, q_idx, prev_idx, prior, sub):
+            def block(lib, poses, idx, mask, q_idx, prev_idx, prior, sub,
+                      valid):
                 # all step args stacked (K, ...) along axis 0
                 def body(carry, xs):
-                    return step(lib, carry, *xs)
+                    *step_xs, v = xs
+                    poses2, packed = step(lib, carry, *step_xs)
+                    poses2 = jnp.where(v, poses2, carry)
+                    return poses2, packed
 
                 poses2, packs = jax.lax.scan(
-                    body, poses, (idx, mask, q_idx, prev_idx, prior, sub)
+                    body, poses,
+                    (idx, mask, q_idx, prev_idx, prior, sub, valid),
                 )
                 return poses2, packs                          # (K, 1, 2, 8)
 
@@ -306,16 +314,39 @@ class OnlineMatchPipeline:
         subs = [self._clip_sub(st["sox"], st["soy"], S) for st in steps]
         sub = np.asarray(subs, dtype=np.int32)[:, None, :]     # (K, 1, 2)
 
-        prog = self._block_program(P, B, S, K)
+        # pad flush-time partial blocks up to the canonical program size
+        # (valid=False steps: all-masked grid, pose write suppressed) so
+        # every tail size reuses the one compiled K=sync_every program.
+        # Padded rows sit at the END of the block, and a padded block is
+        # only ever the last dispatched group of a sync, so _sync's
+        # step/row zip (which truncates at the real step count) stays
+        # aligned.
+        K_pad = max(self.sync_every, K)
+        valid = np.zeros(K_pad, dtype=bool)
+        valid[:K] = True
+        if K_pad > K:
+            reps = K_pad - K
+            idx = np.concatenate([idx, np.repeat(idx[-1:], reps, 0)])
+            mask = np.concatenate(
+                [mask, np.zeros((reps,) + mask.shape[1:], dtype=bool)]
+            )
+            q_idx = np.concatenate([q_idx, np.repeat(q_idx[-1:], reps, 0)])
+            prev_idx = np.concatenate(
+                [prev_idx, np.repeat(prev_idx[-1:], reps, 0)]
+            )
+            prior = np.concatenate([prior, np.repeat(prior[-1:], reps, 0)])
+            sub = np.concatenate([sub, np.repeat(sub[-1:], reps, 0)])
+
+        prog = self._block_program(P, B, S, K_pad)
         self._poses, packs = prog(
             m.library.fields, self._poses, idx, mask, q_idx, prev_idx,
-            prior, sub,
+            prior, sub, valid,
         )
         entry = [
             (st["scan"], st["base"], (sx, sy, S), st["prior"])
             for st, (sx, sy) in zip(steps, subs)
         ]
-        self._inflight.append((entry, packs))                  # (K, 1, 2, 8)
+        self._inflight.append((entry, packs))                  # (K_pad, 1, 2, 8)
         self._n_inflight += K
 
     def drain(self):
