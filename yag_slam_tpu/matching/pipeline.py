@@ -202,7 +202,12 @@ class OnlineMatchPipeline:
     # -- public API -----------------------------------------------------------
     def seed(self, scans):
         """Install pre-corrected scans as the initial window (their
-        corrected_pose is trusted as-is)."""
+        corrected_pose is trusted as-is).  Resets the stream: any
+        un-flushed pushes (buffered or dispatched) are discarded — call
+        flush() first if their results matter."""
+        self._pending = []
+        self._inflight = []
+        self._n_inflight = 0
         m = self.m
         P = m._ensure_point_cap(scans)
         slots = m.library.ensure(scans, P)
