@@ -613,13 +613,15 @@ class PoseGraphSolver:
     """
 
     DENSE_NODE_LIMIT = 1024
-    # Measured on TPU v5e (profile_spa.py; table in BASELINE.md): the host
-    # sparse f64 path wins at every single-chip size measured (9 ms vs
-    # 194 ms at 100 nodes, 33 ms vs 1.4 s dense / 5.0 s CG at 500) — f64
-    # emulation + per-iteration latency swamp the device.  There is no
-    # single-chip crossover; the device paths earn their keep only as the
-    # building block of the *distributed* solve (parallel/dist_spa.py).
-    # The limit stays a knob for pod-attached deployments.
+    # Measured on TPU v5e (profile_spa.py; full table in BASELINE.md "SPA
+    # solver crossover"): the host sparse f64 path wins at every
+    # single-chip size measured (6.6 ms vs 202 ms dense / 183 ms CG at
+    # 100 nodes, through 1.62 s vs OOM / 20.3 s at 4000) — f64 emulation
+    # + per-iteration latency swamp the device, and the dense system OOMs
+    # HBM at n >= 2000.  There is no single-chip crossover; the device
+    # paths earn their keep only as the building block of the
+    # *distributed* solve (parallel/dist_spa.py).  The limit stays a knob
+    # for pod-attached deployments.
     AUTO_HOST_NODE_LIMIT = 65536
 
     def __init__(self, dtype=None, solver="auto", dense_node_limit=None,
