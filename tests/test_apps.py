@@ -139,3 +139,12 @@ def test_offline_mapper_cli(tmp_path):
     import os
 
     assert os.path.exists(out + ".graph")
+
+    # --stream (blocked device-chained ingestion) must reproduce the
+    # per-scan run: same graph, same closures, same ATE
+    out2 = str(tmp_path / "run_stream")
+    summary2 = main(["--synthetic-laps", "1", "--out", out2, "--stream",
+                     "--no-map-image"])
+    assert summary2["vertices"] == summary["vertices"]
+    assert summary2["loop_closures"] == summary["loop_closures"]
+    assert abs(summary2["ate_rmse"] - summary["ate_rmse"]) < 1e-6

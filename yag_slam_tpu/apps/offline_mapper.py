@@ -50,13 +50,28 @@ def run_carmen(args):
     )
     t0 = time.time()
     integrated_idx = []
-    for i, cs in enumerate(scans):
-        ok, _, closed = mapper.add_scan(
-            cs.ranges, cs.min_angle, cs.max_angle, cs.angle_increment,
-            0.0, cs.max_range, (cs.odom_x, cs.odom_y, cs.odom_theta),
-        )
-        if ok:
-            integrated_idx.append(i)
+    if args.stream:
+        # streamed bulk ingestion: device-chained matching in blocks,
+        # loop closure at sync boundaries (GraphSlam.process_scan_stream
+        # — semantically equal to the per-scan loop)
+        prepared = []
+        for i, cs in enumerate(scans):
+            s = mapper._prepare_scan(
+                cs.ranges, cs.min_angle, cs.max_angle, cs.angle_increment,
+                0.0, cs.max_range, (cs.odom_x, cs.odom_y, cs.odom_theta),
+            )
+            if s is not None:
+                prepared.append(s)
+                integrated_idx.append(i)
+        mapper.add_scans_batch_stream(prepared, sync_every=args.sync_every)
+    else:
+        for i, cs in enumerate(scans):
+            ok, _, closed = mapper.add_scan(
+                cs.ranges, cs.min_angle, cs.max_angle, cs.angle_increment,
+                0.0, cs.max_range, (cs.odom_x, cs.odom_y, cs.odom_theta),
+            )
+            if ok:
+                integrated_idx.append(i)
     elapsed = time.time() - t0
     integrated = len(integrated_idx)
     print(
@@ -100,10 +115,16 @@ def run_synthetic(args):
     )
     mapper.min_distance = -1.0  # integrate every pose
     t0 = time.time()
-    for i in range(len(gt)):
-        scan = simulate_scan(world, gt[i], n_beams=250, range_threshold=5.0,
-                             noise=0.004, rng=rng, odom_pose_xyt=odom[i])
-        mapper.slam.process_scan(scan)
+    scans = [
+        simulate_scan(world, gt[i], n_beams=250, range_threshold=5.0,
+                      noise=0.004, rng=rng, odom_pose_xyt=odom[i])
+        for i in range(len(gt))
+    ]
+    if args.stream:
+        mapper.slam.process_scan_stream(scans, sync_every=args.sync_every)
+    else:
+        for scan in scans:
+            mapper.slam.process_scan(scan)
     elapsed = time.time() - t0
     print(
         f"processed {len(gt)} scans in {elapsed:.1f}s "
@@ -135,6 +156,11 @@ def main(argv=None):
     ap.add_argument("--loop-min-chain", type=int, default=10)
     ap.add_argument("--min-response-coarse", type=float, default=0.6)
     ap.add_argument("--min-response-fine", type=float, default=0.7)
+    ap.add_argument("--stream", action="store_true",
+                    help="streamed ingestion: device-chained match blocks "
+                         "with loop closure at sync boundaries (same "
+                         "results as the per-scan loop)")
+    ap.add_argument("--sync-every", type=int, default=8)
     ap.add_argument("--no-map-image", action="store_true",
                     help="skip the PNG render (benchmark runs)")
     args = ap.parse_args(argv)

@@ -230,8 +230,14 @@ class OnlineMapper:
         SLAM path (GraphSlam.process_scan_stream) — the backpressure
         branch of the threaded mapper.  Returns the list of
         (match_result, closed)."""
+        return self.add_scans_batch_stream(prepared_scans)
+
+    def add_scans_batch_stream(self, prepared_scans, sync_every=8):
+        """Streamed bulk ingestion of already-prepared scans (offline
+        mapper --stream, threaded backpressure batching)."""
         self.initial_pose = None
-        out = self.slam.process_scan_stream(prepared_scans)
+        out = self.slam.process_scan_stream(prepared_scans,
+                                            sync_every=sync_every)
         for _, closed in out:
             self._after_scan(closed)
         return out
