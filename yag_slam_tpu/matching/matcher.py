@@ -519,7 +519,7 @@ class CorrelativeScanMatcher:
             portable fallbacks."""
             if use_vmem and stride in (1, 2) and spec.nx <= 128:
                 _, ROWS_PAD, R, L, qb = C.vmem_score_layout(S, spec, stride)
-                RT = 2 * R if stride == 2 else R
+                RT = 4 * R if stride == 2 else R   # 4 (row, lane) phase blocks
                 if qb <= _VMEM_SCORE_BUDGET and PK.roll_scorer_ok(
                         RT, L, ROWS_PAD, spec.nt, P):
                     return "roll"

@@ -93,7 +93,7 @@ def _probe_save():
 
 # Bump when any kernel body changes: compiled-probe verdicts are only
 # valid for the code that was probed.
-_KERNEL_REV = 5
+_KERNEL_REV = 6
 
 
 def _device_kind() -> str:
