@@ -91,9 +91,43 @@ def _probe_save():
         pass
 
 
-# Bump when any kernel body changes: compiled-probe verdicts are only
-# valid for the code that was probed.
-_KERNEL_REV = 6
+# Cache key component derived from this module's source: compiled-probe
+# verdicts are only valid for the code that was probed, and a content hash
+# cannot be forgotten the way a manual revision bump can (ADVICE r4).
+def _kernel_rev() -> str:
+    try:
+        import hashlib
+
+        with open(__file__, "rb") as f:
+            return hashlib.sha1(f.read()).hexdigest()[:12]
+    except Exception:  # pragma: no cover
+        return "unknown"
+
+
+_KERNEL_REV = _kernel_rev()
+
+# Probe failures that are NOT a deterministic Mosaic/VMEM rejection (tunnel
+# RPC drops, device-busy, import errors) must not poison the on-disk cache:
+# a mis-cached False silently pins the slow build/scorer path for every
+# future process on this machine (ADVICE r4).  Only verdicts whose error
+# message identifies a resource rejection are persisted; everything else is
+# remembered in-process only.
+_probe_session: dict = {}
+_DETERMINISTIC_REJECT_MARKERS = (
+    "vmem",            # "exceeds the scoped vmem limit" et al.
+    "scoped",
+    "resource_exhausted",
+    "ran out of memory",
+    "exceeds available",
+    "mosaic failed to compile",
+    "not implemented",  # Mosaic lowering gaps are deterministic per version
+    "unsupported",
+)
+
+
+def _is_deterministic_reject(err: Exception) -> bool:
+    msg = f"{type(err).__name__}: {err}".lower()
+    return any(m in msg for m in _DETERMINISTIC_REJECT_MARKERS)
 
 
 def _device_kind() -> str:
@@ -110,28 +144,35 @@ def _probe(key_parts, thunk) -> bool:
     generation must not survive a hardware swap).
 
     A genuine Mosaic rejection is deterministic, while the remote-compile
-    path can also fail transiently (tunnel RPC drops; both present as
-    opaque INTERNAL errors) — so a failure is retried once before the
-    False verdict is cached (a mis-cached False would silently pin the
-    slow build path; delete .pallas_probe_cache.json to re-probe)."""
+    path can also fail transiently (tunnel RPC drops, device busy) — so a
+    failure is retried once, and a False verdict reaches the DISK cache
+    only when the error message identifies a deterministic resource
+    rejection (_is_deterministic_reject); other failures are remembered
+    in-process only, so the next process re-probes (ADVICE r4).  Delete
+    .pallas_probe_cache.json to force a full re-probe."""
     key = "|".join(str(p) for p in (_KERNEL_REV, _device_kind(), *key_parts))
     with _probe_lock:
-        cache = _probe_load()
-        hit = cache.get(key)
+        hit = _probe_session.get(key)
+        if hit is None:
+            hit = _probe_load().get(key)
         if hit is not None:
             return hit
     ok = False
+    err = None
     for _ in range(2):
         try:
             thunk()
             ok = True
+            err = None
             break
-        except Exception:
-            pass
+        except Exception as e:
+            err = e
     with _probe_lock:
-        cache = _probe_load()
-        cache[key] = ok
-        _probe_save()
+        _probe_session[key] = ok
+        if ok or (err is not None and _is_deterministic_reject(err)):
+            cache = _probe_load()
+            cache[key] = ok
+            _probe_save()
     return ok
 
 
@@ -891,6 +932,11 @@ def scatter_occupancy_pallas(sy, sx, m_used, *, rows: int, Cpad: int,
     m_used: (N,) int32 per-job loop bound (last valid lane + 1).
     Returns (N, rows, Cpad) bf16 occupancy indicators."""
     N, M = sy.shape
+    # the 2-wide-unrolled scatter loop reads lane m_used when m_used is
+    # odd; an even lane capacity guarantees that read stays in bounds
+    # (producers pad points to 128-multiples — enforce it here so a
+    # future odd-M producer fails loudly, ADVICE r4)
+    assert M % 2 == 0, M
     # SMEM blocks must keep the trailing two dims whole; a unit middle
     # axis satisfies the (8, 128)-or-whole rule
     sy = sy.reshape(N, 1, M)
@@ -1016,6 +1062,9 @@ def build_grid_fused(sy, sx, lim, m_used, *, S: int, h: int, taps: tuple,
     N, M = sy.shape
     assert S % ROW_TILE == 0, S
     assert 1 <= h < ROW_TILE, h
+    # even lane capacity: the 2-wide scatter unroll reads lane m_used on
+    # odd tails (see scatter_occupancy_pallas, ADVICE r4)
+    assert M % 2 == 0, M
     R0 = _round_up(S + 2 * h + 1, 8) + 8
     RS = _round_up(ROW_TILE + 2 * h, 8)
     n_strips = S // ROW_TILE
