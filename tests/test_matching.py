@@ -379,6 +379,170 @@ def test_response_expansion_recovers_rotated_query():
     assert abs(r_on.best_pose.euler[-1]) < 0.3
 
 
+def _karto_penalty_oracle(q2d, qx, qy, cx, cy, ct, ox, oy, sox, soy,
+                          spec, xy_size, xy_res, ang_size, ang_res,
+                          G, S, res, kp):
+    """f64 numpy oracle of OpenKarto's C++ penalty semantics (Mapper.cpp
+    ScanMatcher::CorrelateScan): response scaled by
+    max(1 - 0.2*d2/dist_var, min_dist) * max(1 - 0.2*a2/ang_var, min_ang),
+    offsets from the SEARCH CENTER, variances consumed directly."""
+    dv, av, md, ma = kp
+    nx, ny, nt = spec
+    xvals = (cx - xy_size) + np.arange(nx) * xy_res
+    yvals = (cy - xy_size) + np.arange(ny) * xy_res
+    tvals = (ct - ang_size) + np.arange(nt) * ang_res
+    out = np.zeros((nx, ny, nt))
+    n = len(qx)
+    for k, t in enumerate(tvals):
+        c, s = np.cos(t), np.sin(t)
+        rx = c * qx - s * qy
+        ry = s * qx + c * qy
+        ang_pen = max(1.0 - 0.2 * (t - ct) ** 2 / av, ma)
+        for i, xv in enumerate(xvals):
+            for j, yv in enumerate(yvals):
+                gx = np.round((xv + rx - ox) / res).astype(int)
+                gy = np.round((yv + ry - oy) / res).astype(int)
+                sgx, sgy = gx - sox, gy - soy
+                ok = ((gx >= 0) & (gx < G) & (gy >= 0) & (gy < G)
+                      & (sgx >= 0) & (sgx < S) & (sgy >= 0) & (sgy < S))
+                raw = q2d[sgy[ok], sgx[ok]].sum()
+                dist_pen = max(
+                    1.0 - 0.2 * ((xv - cx) ** 2 + (yv - cy) ** 2) / dv, md
+                )
+                out[i, j, k] = raw / n * dist_pen * ang_pen / 100.0
+    return out
+
+
+def test_karto_penalty_mode_golden():
+    """The use_karto_penalties scoring mode (VERDICT r4 item 6) must
+    match the C++-semantics oracle cell-for-cell on every scorer path."""
+    rng = np.random.default_rng(7)
+    G, S, res = 201, 256, 0.02
+    q2d = np.floor(rng.uniform(0, 100, (S, S)))
+    P = 64
+    qx = rng.uniform(-1.5, 1.5, P)
+    qy = rng.uniform(-1.5, 1.5, P)
+    cx, cy, ct = 0.31, -0.22, 0.15
+    ox, oy = cx - 0.5 * (G - 1) * res, cy - 0.5 * (G - 1) * res
+    sox = soy = 0
+    kp = (0.5, 0.3, 0.5, 0.9)
+    spec = C.LatticeSpec.from_search(0.0, 0.0, 0.0, 0.25, 0.04,
+                                     0.1745, 0.0349)
+    want = _karto_penalty_oracle(
+        q2d, qx, qy, cx, cy, ct, ox, oy, sox, soy, spec,
+        0.25, 0.04, 0.1745, 0.0349, G, S, res, kp,
+    )
+
+    import jax.numpy as jnp
+
+    common = dict(
+        spec=spec, xy_size=0.25, xy_res=0.04, ang_size=0.1745,
+        ang_res=0.0349, grid_size=G, grid_res=res, sub_size=S,
+        penalize=True, dtype=jnp.float64, karto_penalties=kp,
+    )
+    args_b = (
+        jnp.asarray(qx)[None], jnp.asarray(qy)[None],
+        jnp.asarray([float(P)]), jnp.asarray([cx]), jnp.asarray([cy]),
+        jnp.asarray([ct]), jnp.asarray([ox]), jnp.asarray([oy]),
+        jnp.asarray([sox]), jnp.asarray([soy]),
+    )
+    qflat = jnp.concatenate(
+        [jnp.asarray(q2d).reshape(1, S * S), jnp.zeros((1, 1))], axis=1
+    )
+    out_e, *_ = C.score_lattice_batched(qflat, *args_b, **common)
+    np.testing.assert_allclose(np.asarray(out_e)[0], want, atol=1e-12)
+
+    out_p, *_ = C.score_lattice_patch_batched(
+        jnp.asarray(q2d)[None], *args_b, **common
+    )
+    np.testing.assert_allclose(np.asarray(out_p)[0], want, atol=1e-12)
+
+    # unbatched path (the with-map localization driver)
+    out_s, *_ = C.score_lattice(
+        jnp.concatenate([jnp.asarray(q2d).ravel(), jnp.zeros(1)]),
+        jnp.asarray(qx), jnp.asarray(qy), float(P), cx, cy, ct, ox, oy,
+        spec=spec, xy_size=0.25, xy_res=0.04, ang_size=0.1745,
+        ang_res=0.0349, grid_size=G, grid_res=res, sub_size=S,
+        penalize=True, dtype=jnp.float64, karto_penalties=kp,
+    )
+    np.testing.assert_allclose(np.asarray(out_s), want, atol=1e-12)
+
+
+def test_karto_penalty_mode_end_to_end():
+    """A matcher constructed with use_karto_penalties=True still recovers
+    the pose; with a tight angle variance, clamping at
+    minimum_angle_penalty changes off-center responses versus spec mode."""
+    base = [make_room_scan(0.0, 0.0, 0.0)]
+    query = make_room_scan(0.12, -0.08, 0.05, seed=1)
+    query.corrected_pose = query.odom_pose
+
+    m_spec = CorrelativeScanMatcher(TEST_CFG, use_pallas=False)
+    m_karto = CorrelativeScanMatcher(
+        dict(TEST_CFG, use_karto_penalties=True,
+             angle_variance_penalty=0.02, distance_variance_penalty=0.05),
+        use_pallas=False,
+    )
+    r_spec = m_spec.match_scan(query, base, penalty=True, do_fine=True)
+    query.corrected_pose = query.odom_pose
+    r_karto = m_karto.match_scan(query, base, penalty=True, do_fine=True)
+    for r in (r_spec, r_karto):
+        assert r.response > 0.3
+        assert abs(r.best_pose.x - 0.12) < 0.05
+        assert abs(r.best_pose.y + 0.08) < 0.05
+    # the two penalty models genuinely differ
+    assert abs(r_spec.response - r_karto.response) > 1e-6
+
+
+def test_match_many_expansion_batched():
+    """When several jobs of a match_many batch need response expansion,
+    the retries run as ONE widened dispatch over the whole empty subset
+    per attempt — O(attempts) programs, not O(jobs) synchronous
+    match_scan fallbacks (VERDICT r4 weak 4).  Results must equal the
+    per-job path's."""
+    cfg = dict(TEST_CFG)
+    base = [_arc_scan(0.0, 0.0, 0.0)]
+    # 4 queries whose yaw guesses are outside the default window (response
+    # exactly 0 -> expansion) + 2 well-aligned ones (no expansion)
+    empties = [_arc_scan(0.0, 0.0, 0.4 + 0.02 * i) for i in range(4)]
+    goods = [_arc_scan(0.0, 0.0, 0.02 * i) for i in range(2)]
+    for q in empties + goods:
+        q.corrected_pose = q.odom_pose
+
+    m = CorrelativeScanMatcher(dict(cfg, use_response_expansion=True),
+                               use_pallas=False)
+    calls = []
+    orig_program = m._program
+
+    def counting_program(*a, **kw):
+        prog = orig_program(*a, **kw)
+
+        def wrapped(*pa, **pkw):
+            calls.append(a[4])  # coarse_offset of the dispatched program
+            return prog(*pa, **pkw)
+
+        return wrapped
+
+    m._program = counting_program
+    jobs = [(q, base) for q in empties + goods]
+    results = m.match_many(jobs, penalty=False, do_fine=False)
+
+    # one base dispatch + at most _EXPANSION_TRIES widened dispatches —
+    # NOT one synchronous match_scan per empty job
+    assert len(calls) <= 4, calls
+    assert len(set(calls)) == len(calls), "each attempt dispatched once"
+    for r, q in zip(results[:4], empties):
+        assert r.response > 0.0  # expansion recovered the rotated queries
+        assert abs(r.best_pose.euler[-1]) < 0.3
+    # per-job equivalence (independent matcher, per-job path)
+    m2 = CorrelativeScanMatcher(dict(cfg, use_response_expansion=True),
+                                use_pallas=False)
+    for r, (q, bs) in zip(results, jobs):
+        single = m2.match_scan(q, bs, penalty=False, do_fine=False)
+        assert np.isclose(r.response, single.response, rtol=1e-9)
+        assert np.isclose(r.best_pose.euler[-1],
+                          single.best_pose.euler[-1], atol=1e-9)
+
+
 @pytest.mark.parametrize("stride", [1, 2])
 @pytest.mark.parametrize("hybrid", [True, False])
 def test_vmem_scorer_matches_gather_paths(stride, hybrid):

