@@ -126,6 +126,79 @@ def test_block_dispatch_matches_sequential_loop():
                                    rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.parametrize("block,sync_every,lag",
+                         [(True, 2, 1), (True, 4, 1), (False, 4, 2)])
+def test_lagged_readback_matches_sequential_loop(block, sync_every, lag):
+    """lag_blocks > 0 (readback coalescing, VERDICT r4 item 3) defers
+    each group's host fetch by `lag` dispatches so the transfer overlaps
+    the next block's compute.  Results and final poses must still equal
+    the sequential loop's exactly, including the lagged tail at flush."""
+    window = 6
+    scans_a, _ = make_stream(n=20)
+    scans_b, _ = make_stream(n=20)
+
+    ref = run_sequential(scans_a, window)
+
+    m = CorrelativeScanMatcher(CFG, dtype=jnp.float64)
+    pipe = OnlineMatchPipeline(m, window=window, sync_every=sync_every,
+                               block_dispatch=block, lag_blocks=lag)
+    pipe.seed(scans_b[:window])
+    n_results_seen = 0
+    for s in scans_b[window:]:
+        pipe.push(s)
+        n_results_seen += len(pipe.drain())
+    got_tail = pipe.flush()
+    assert n_results_seen + len(got_tail) == len(ref)
+    for r_ref, s_ref, s_got in zip(ref, scans_a[window:], scans_b[window:]):
+        np.testing.assert_allclose(
+            [s_got.corrected_pose.x, s_got.corrected_pose.y,
+             s_got.corrected_pose.euler[-1]],
+            [s_ref.corrected_pose.x, s_ref.corrected_pose.y,
+             s_ref.corrected_pose.euler[-1]],
+            atol=1e-9,
+        )
+
+
+def test_lagged_redo_folds_in_kept_groups():
+    """A redo detected in a drained group must also re-run the
+    still-lagged groups (their device chain consumed the poisoned pose)
+    and still reproduce the sequential loop exactly."""
+    window = 6
+    scans_a, _ = make_stream(n=20)
+    scans_b, _ = make_stream(n=20)
+
+    ref = run_sequential(scans_a, window)
+
+    m = CorrelativeScanMatcher(CFG, dtype=jnp.float64)
+    pipe = OnlineMatchPipeline(m, window=window, sync_every=2,
+                               block_dispatch=True, lag_blocks=1)
+    real_valid = pipe._subgrid_valid
+    calls = []
+
+    def fake_valid(base, center, sub_used):
+        calls.append(center)
+        if len(calls) == 2:
+            return False
+        return real_valid(base, center, sub_used)
+
+    pipe._subgrid_valid = fake_valid
+    pipe.seed(scans_b[:window])
+    for s in scans_b[window:]:
+        pipe.push(s)
+    got = pipe.flush()
+
+    assert pipe.stats["redo_sweeps"] >= 1
+    assert len(got) == len(ref)
+    for r_ref, s_ref, s_got in zip(ref, scans_a[window:], scans_b[window:]):
+        np.testing.assert_allclose(
+            [s_got.corrected_pose.x, s_got.corrected_pose.y,
+             s_got.corrected_pose.euler[-1]],
+            [s_ref.corrected_pose.x, s_ref.corrected_pose.y,
+             s_ref.corrected_pose.euler[-1]],
+            atol=1e-9,
+        )
+
+
 def test_pipeline_redo_sweep_mid_batch():
     """The sync-time validation's synchronous forward sweep (VERDICT r3
     weak #2/#3): when a mid-batch match is flagged (subgrid insufficient

@@ -78,12 +78,23 @@ class OnlineMatchPipeline:
 
     def __init__(self, matcher, window: int = 10, sync_every: int = 8,
                  penalty: bool = True, do_fine: bool = True,
-                 block_dispatch: bool = False):
+                 block_dispatch: bool = False, lag_blocks: int = 0):
         self.m = matcher
         self.window = int(window)
         self.sync_every = int(sync_every)
         self.penalty = bool(penalty)
         self.do_fine = bool(do_fine)
+        # lag_blocks > 0 = readback coalescing (VERDICT r4 item 3): each
+        # sync drains all but the newest `lag_blocks` dispatched groups,
+        # so a group's device->host transfer (started at dispatch via
+        # copy_to_host_async) overlaps the NEXT group's dispatch+compute
+        # instead of stalling the pusher for a full tunnel round trip.
+        # Small blocks + lag give a low-latency online mode: results
+        # arrive at most sync_every*(lag_blocks+1) pushes after their
+        # scan (vs the tunnel RTT per scan of the lockstep loop).  The
+        # device pose chain is unaffected — only the host-visible fetch
+        # is deferred.
+        self.lag_blocks = int(lag_blocks)
         # block_dispatch=True batches sync_every chained steps into ONE
         # device program (a lax.scan over the step core): 1 dispatch + 1
         # readback per sync_every matches instead of sync_every dispatches
@@ -267,7 +278,7 @@ class OnlineMatchPipeline:
             self._pending.append(step)
             if len(self._pending) >= self.sync_every:
                 self._dispatch_block()
-                self._sync()
+                self._sync(keep=self.lag_blocks)
             return
 
         np_dtype = np.dtype(m.dtype)
@@ -279,12 +290,13 @@ class OnlineMatchPipeline:
             m.library.fields, self._poses, idx, mask, q_idx, prev_idx,
             np.asarray(prior, dtype=np_dtype)[None], sub,
         )
+        packed.copy_to_host_async()
         self._inflight.append(
             ([(scan, base, (sox, soy, self._S), prior)], packed)
         )
         self._n_inflight += 1
-        if self._n_inflight >= self.sync_every:
-            self._sync()
+        if self._n_inflight >= self.sync_every + self.lag_blocks:
+            self._sync(keep=self.lag_blocks)
 
     def _dispatch_block(self):
         """Block mode: run the buffered steps as one chained program."""
@@ -347,6 +359,9 @@ class OnlineMatchPipeline:
             m.library.fields, self._poses, idx, mask, q_idx, prev_idx,
             prior, sub, valid,
         )
+        # start the device->host transfer now; with lag_blocks the fetch
+        # happens a block later, by when the copy has already landed
+        packs.copy_to_host_async()
         entry = [
             (st["scan"], st["base"], (sx, sy, S), st["prior"])
             for st, (sx, sy) in zip(steps, subs)
@@ -407,16 +422,19 @@ class OnlineMatchPipeline:
             and min(gmaxy + h, G - 1) <= soy + S - 1
         )
 
-    def _sync(self):
-        # block mode: a flush can arrive with a partial block still
-        # host-buffered — dispatch it first (its own K-sized program)
-        if self._pending:
+    def _sync(self, keep=0):
+        # block mode: a flush (keep=0) can arrive with a partial block
+        # still host-buffered — dispatch it first (its own K-sized
+        # program); lagged syncs never force the partial block out
+        if self._pending and keep == 0:
             self._dispatch_block()
-        if not self._inflight:
+        if len(self._inflight) <= keep:
             return
-        groups = self._inflight
-        self._inflight = []
-        self._n_inflight = 0
+        cut = len(self._inflight) - keep
+        groups = self._inflight[:cut]
+        kept = self._inflight[cut:]
+        self._inflight = kept
+        self._n_inflight = sum(len(steps) for steps, _ in kept)
         if len(groups) == 1:
             host = np.asarray(groups[0][1]).reshape(-1, 2, 8)
         else:
@@ -441,10 +459,19 @@ class OnlineMatchPipeline:
                     base, center, sub_used):
                 redo_from = k
                 break
-            scan.corrected_pose = Transform.from_xyt(*fine[1:4])
-            self._results.append(m._assemble(coarse, fine, self.do_fine,
-                                             None))
+            res = m._assemble(coarse, fine, self.do_fine, None,
+                              center=center)
+            scan.corrected_pose = res.best_pose
+            self._results.append(res)
         self.stats["synced"] += len(inflight)
+        if redo_from is not None and kept:
+            # the still-lagged groups chained off the poisoned pose on
+            # device: fold their steps into the sweep and drop their
+            # dispatched results unread
+            inflight = inflight + [st for (steps, _) in kept for st in steps]
+            self._inflight = []
+            self._n_inflight = 0
+            kept = []
         if redo_from is not None:
             self.stats["redo_sweeps"] += 1
             self.stats["redo_matches"] += len(inflight) - redo_from
@@ -466,7 +493,12 @@ class OnlineMatchPipeline:
                 slots.append(m.library.ensure([scan], m._point_cap)[0])
                 vals.append(self._xyt(res.best_pose))
             self._set_poses(slots, vals)
-        # reset host drift estimate to the device-exact pose
+        # reset host drift estimate: device-exact pose of the last synced
+        # scan, advanced by odometry to the last PUSHED scan (identity
+        # when nothing is still lagged in flight)
         last_scan = inflight[-1][0]
-        self._est = self._xyt(last_scan.corrected_pose)
-        self._last_odom = self._xyt(last_scan.odom_pose)
+        exact = self._xyt(last_scan.corrected_pose)
+        self._est = se2_compose(
+            exact, se2_relative(self._last_odom,
+                                self._xyt(last_scan.odom_pose))
+        )
