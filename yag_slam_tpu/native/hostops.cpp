@@ -189,8 +189,10 @@ PyObject* parse_carmen(PyObject*, PyObject* args) {
       x = pose[0];
       y = pose[1];
       th = pose[2];
-      double tail[4];
-      if (parse_doubles(p, tail, 4)) ts = tail[3];
+      // CARMEN v2 tail: laser_tv laser_rv forward_safety side_safety
+      // turn_axis timestamp (then hostname + logger ts)
+      double tail[6];
+      if (parse_doubles(p, tail, 6)) ts = tail[5];
       min_angle = head[1];
       inc = head[3];
       max_angle = head[1] + head[2] - inc;
