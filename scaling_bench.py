@@ -40,6 +40,71 @@ def build_jobs(n_jobs, n_beams=180):
     return jobs
 
 
+def build_spa_graph(spa, n_nodes, seed=0):
+    """Noisy square-loop pose graph with `n_nodes` nodes + closure edge."""
+    from yag_slam_tpu.core.transform import se2_compose, se2_relative
+
+    rng = np.random.default_rng(seed)
+    side = max(n_nodes // 4, 1)
+    true = [np.array([0.0, 0.0, 0.0])]
+    for s in range(4):
+        for _ in range(side):
+            true.append(se2_compose(true[-1], np.array([0.5, 0.0, 0.0])))
+        true.append(se2_compose(true[-1], np.array([0.0, 0.0, np.pi / 2])))
+    guess = [true[0]]
+    info = np.diag([100.0, 100.0, 400.0]).tolist()
+    means = []
+    for i in range(len(true) - 1):
+        mean = se2_relative(true[i + 1], true[i]) + rng.normal(0, 0.01, 3)
+        guess.append(se2_compose(guess[-1], mean))
+        means.append((i, i + 1, mean))
+    for i, g in enumerate(guess):
+        spa.add_node(g[0], g[1], g[2], i)
+    for i, j, mean in means:
+        spa.add_constraint(i, j, *mean, info)
+    spa.add_constraint(len(true) - 1, 0,
+                       *se2_relative(true[0], true[-1]), info)
+    return len(guess)
+
+
+def bench_dist_spa(sizes, edges_per_device=512, repeats=3):
+    """Weak-scaling row for the distributed SPA (VERDICT r4 item 5):
+    edges/device held constant, LM/CG iteration counts pinned, so ideal
+    weak scaling is FLAT solve time as devices grow."""
+    import jax
+
+    from yag_slam_tpu.parallel.dist_spa import DistributedSPA
+    from yag_slam_tpu.parallel.sharding import default_mesh
+
+    results = {}
+    for n_dev in sizes:
+        n_nodes = edges_per_device * n_dev
+        spa = DistributedSPA(default_mesh(n_dev))
+        build_spa_graph(spa, n_nodes)
+        spa.compute(10, 1.0e-4, True, 1.0e-9, 25)  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            spa2 = DistributedSPA(default_mesh(n_dev))
+            build_spa_graph(spa2, n_nodes)
+            t0 = time.time()
+            c = spa2.compute(10, 1.0e-4, True, 1.0e-9, 25)
+            best = min(best, time.time() - t0)
+        results[n_dev] = best
+        print(json.dumps({
+            "dist_spa_devices": n_dev, "nodes": n_nodes,
+            "solve_ms": round(best * 1e3, 1), "chi2": round(float(c), 4),
+        }))
+    if len(results) > 1:
+        base = results[sizes[0]]
+        eff = {n: base / results[n] for n in sizes[1:]}  # flat = 1.0
+        print(json.dumps({
+            "metric": "dist_spa_weak_scaling_efficiency",
+            "backend": jax.default_backend(),
+            "efficiency": {str(n): round(e, 3) for n, e in eff.items()},
+        }))
+    return results
+
+
 def main(n_jobs=32, repeats=3):
     import jax
 
@@ -77,6 +142,7 @@ def main(n_jobs=32, repeats=3):
             "backend": jax.default_backend(),
             "efficiency": {str(n): round(e, 3) for n, e in eff.items()},
         }))
+    bench_dist_spa(sizes, repeats=repeats)
     return results
 
 

@@ -230,18 +230,220 @@ def _edge_blocks(poses, eidx, means, infos, emask):
     return r, Ji, Jj, W
 
 
+def _use_onehot_segsum() -> bool:
+    """Trace-time switch: segment sums as one-hot matmuls on TPU only.
+    On TPU, XLA lowers indexed scatter-adds to a SERIALIZED update loop
+    (~E sequential block updates — measured 20 ms of a 27 ms mixed LM
+    step at E=1000 on v5e) while the matmul runs on the MXU; on CPU the
+    O(E*N) matmul is strictly worse than the O(E) native scatter."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _edge_onehots(eidx, n_cap, dtype):
+    """One-hot edge-endpoint selection matrices Si, Sj (E, N) for
+    matmul-based segment sums (see _use_onehot_segsum).  Loop-invariant
+    (eidx never changes within a solve), so XLA hoists their construction
+    out of the LM while_loop."""
+    ar = jnp.arange(n_cap)
+    Si = (eidx[:, 0:1] == ar[None, :]).astype(dtype)
+    Sj = (eidx[:, 1:2] == ar[None, :]).astype(dtype)
+    return Si, Sj
+
+
+def build_normal_equations_matmul(poses, eidx, means, infos, emask,
+                                  free_mask, *, n_cap, onehots=None):
+    """MXU-friendly dense assembly: H = A^T W A with the (3E, 3N) block
+    Jacobian materialized via one-hot broadcasts — no scatter anywhere.
+    Same output contract as `build_normal_equations` (gauge/padded rows
+    as identity, zero rhs)."""
+    N = n_cap
+    dtype = poses.dtype
+    r, Ji, Jj, W = _edge_blocks(poses, eidx, means, infos, emask)
+    Si, Sj = onehots if onehots is not None else _edge_onehots(
+        eidx, n_cap, dtype
+    )
+    fm = free_mask.astype(dtype)
+    # zero the gauge/padded columns of A up front: their H rows/cols
+    # vanish in the products
+    Sif = Si * fm[None, :]
+    Sjf = Sj * fm[None, :]
+    # Fold W into the per-edge blocks FIRST (27E multiplies on the VPU):
+    # a (E,3,3)x(E,3,3N) batched matmul pads its 3-wide dims to the MXU
+    # tile and wastes ~40x; this leaves exactly ONE large matmul.
+    WJi = jnp.einsum("ers,esc->erc", W, Ji)
+    WJj = jnp.einsum("ers,esc->erc", W, Jj)
+    E = eidx.shape[0]
+
+    def expand(left_i, left_j):
+        return (
+            jnp.einsum("en,erc->ernc", Sif, left_i)
+            + jnp.einsum("en,erc->ernc", Sjf, left_j)
+        ).reshape(3 * E, 3 * N)
+
+    A = expand(Ji, Jj)        # (3E, 3N) block Jacobian
+    WA = expand(WJi, WJj)     # (3E, 3N) = W @ A (block-diagonal W)
+    H = A.T @ WA
+    b = A.T @ jnp.einsum("ers,es->er", W, r).reshape(-1)
+    # identity rows for fixed/padded nodes
+    H = H + jnp.diag(jnp.repeat(1.0 - fm, 3))
+    return H, b
+
+
+# ---------------------------------------------------------------------------
+# Mixed-precision device steps (VERDICT r4 item 2).
+#
+# The pose-chain normal equations are ill-conditioned (cond ~ N^2), so a
+# plain f32 Newton step is too inexact — but running the whole solve in f64
+# costs TPU's int-emulated arithmetic a measured 40-60x against the host
+# (BASELINE.md "SPA solver crossover").  Classic iterative refinement
+# splits the difference: factorize/iterate in f32 (MXU-rate), compute the
+# residual of the damped system MATRIX-FREE in f64 (O(E) edge einsums —
+# cheap even emulated, and no dense f64 object ever exists), and re-solve
+# the correction in f32.  Each refined step is f64-accurate once
+# cond(Haug) * eps_f32 < 1, which Marquardt damping helps enforce; the LM
+# accept/reject logic on the f64 cost tolerates the remaining inexactness.
+# The distributed CG path (parallel/dist_spa.py) inherits the cheap f32
+# inner iteration via the same code path (axis_name psums run in f32).
+# ---------------------------------------------------------------------------
+
+
+def _damped_system_f64(poses, eidx, means, infos, emask, free_mask, lam,
+                       onehots=None):
+    """f64 pieces of the damped normal equations, matrix-free: returns
+    (b_neg (N,3), avp64, diag64 (N,3)) with gauge/padding handled as in
+    the dense assembly (identity rows scaled by (1 + lam))."""
+    dtype = poses.dtype
+    n_cap = poses.shape[0]
+    r, Ji, Jj, W = _edge_blocks(poses, eidx, means, infos, emask)
+    fm = free_mask.astype(dtype)
+    JiWr = jnp.einsum("eji,ejl,el->ei", Ji, W, r)
+    JjWr = jnp.einsum("eji,ejl,el->ei", Jj, W, r)
+    if onehots is not None:
+        Si, Sj = onehots
+        b = Si.T @ JiWr + Sj.T @ JjWr
+    else:
+        b = jnp.zeros((n_cap, 3), dtype=dtype)
+        b = b.at[eidx[:, 0]].add(JiWr)
+        b = b.at[eidx[:, 1]].add(JjWr)
+    b_neg = -b * fm[:, None]
+    D = _hessian_diag_blocks(Ji, Jj, W, eidx, free_mask, n_cap, dtype,
+                             onehots=onehots)
+    diag = jnp.diagonal(D, axis1=-2, axis2=-1)  # (N, 3) = diag(H)
+    hvp = _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype,
+                    onehots=onehots)
+
+    def avp(v):
+        # identity rows for fixed/padded nodes also get the + lam*diag
+        # term (diag = 1 there), matching Haug = H + lam*diag(H) exactly
+        return hvp(v) + lam * diag * v
+
+    return b_neg, avp, diag
+
+
+def _lm_candidate_mixed(poses, eidx, means, infos, emask, free_mask, lam,
+                        *, n_cap, refine_iters=2):
+    """One damped LM step: f32 Cholesky factorization + f64 matrix-free
+    iterative refinement.  Returns (candidate poses, f64 cost).
+
+    All segment sums run as one-hot matmuls (MXU) — XLA's scatter-add
+    lowering serialized the assembly to ~20 ms/step at E=1000 on v5e."""
+    f32 = jnp.float32
+    use_oh = _use_onehot_segsum()
+    oh32 = _edge_onehots(eidx, n_cap, f32) if use_oh else None
+    oh64 = (tuple(o.astype(poses.dtype) for o in oh32) if use_oh else None)
+    # f32 dense system for the factorization only
+    if use_oh:
+        H32, _ = build_normal_equations_matmul(
+            poses.astype(f32), eidx, means.astype(f32), infos.astype(f32),
+            emask, free_mask, n_cap=n_cap, onehots=oh32,
+        )
+    else:
+        H32, _ = build_normal_equations(
+            poses.astype(f32), eidx, means.astype(f32), infos.astype(f32),
+            emask, free_mask, n_cap=n_cap,
+        )
+    d32 = jnp.diag(H32)
+    L32 = jnp.linalg.cholesky(H32 + jnp.diag(lam.astype(f32) * d32))
+
+    b_neg, avp, _ = _damped_system_f64(
+        poses, eidx, means, infos, emask, free_mask, lam, onehots=oh64
+    )
+
+    def solve32(rhs64):
+        delta = jax.scipy.linalg.cho_solve(
+            (L32, True), rhs64.reshape(-1).astype(f32)
+        )
+        return delta.astype(poses.dtype).reshape(n_cap, 3)
+
+    x = solve32(b_neg)
+    for _ in range(refine_iters):
+        resid = b_neg - avp(x)
+        x = x + solve32(resid)
+
+    fm = free_mask.astype(poses.dtype)
+    cand = poses + x * fm[:, None]
+    cand = cand.at[:, 2].set(_wrap(cand[:, 2]))
+    cost = graph_cost(cand, eidx, means, infos, emask, n_cap=n_cap)
+    return cand, cost
+
+
+@partial(jax.jit, static_argnames=("n_cap", "max_iters", "refine_iters"))
+def lm_run_mixed(poses, eidx, means, infos, emask, free_mask, lam0, ctol, *,
+                 n_cap, max_iters, refine_iters=2):
+    """Full LM loop with mixed-precision dense steps as ONE device
+    program (same accept/convergence logic as lm_run)."""
+    cost0 = graph_cost(poses, eidx, means, infos, emask, n_cap=n_cap)
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return jnp.logical_and(jnp.logical_not(done), it < max_iters)
+
+    def body(carry):
+        p, cost, lam, it, _ = carry
+        cand, new_cost = _lm_candidate_mixed(
+            p, eidx, means, infos, emask, free_mask, lam,
+            n_cap=n_cap, refine_iters=refine_iters,
+        )
+        accept = jnp.isfinite(new_cost) & (new_cost <= cost)
+        decrease = cost - new_cost
+        p = jnp.where(accept, cand, p)
+        new_lam = jnp.where(
+            accept, jnp.maximum(lam * (1.0 / 3.0), 1.0e-12), lam * 4.0
+        )
+        done = (accept & (decrease <= ctol * new_cost + 1.0e-15)) | (
+            jnp.logical_not(accept) & (new_lam > 1.0e8)
+        )
+        cost = jnp.where(accept, new_cost, cost)
+        return (p, cost, new_lam, it + 1, done)
+
+    p, cost, _, iters, _ = jax.lax.while_loop(
+        cond, body, (poses, cost0, lam0, jnp.int32(0), jnp.bool_(False))
+    )
+    return p, cost, iters
+
+
 def _hessian_diag_blocks(Ji, Jj, W, eidx, free_mask, n_cap, dtype,
-                         reduce=lambda x: x):
+                         reduce=lambda x: x, onehots=None):
     """Block-diagonal of H as (N, 3, 3) — the PCG preconditioner and the
     Marquardt damping diagonal.  `reduce` sums edge-shard partials across
     the mesh (identity on a single device); gauge handling is applied
     *after* the reduction so identity rows are not multiplied by the
-    device count."""
+    device count.  With `onehots`, the segment sum runs as Si^T matmuls
+    instead of XLA's serialized scatter (see _edge_onehots)."""
     Dii = jnp.einsum("eki,ekl,elj->eij", Ji, W, Ji)
     Djj = jnp.einsum("eki,ekl,elj->eij", Jj, W, Jj)
-    D = jnp.zeros((n_cap, 3, 3), dtype=dtype)
-    D = D.at[eidx[:, 0]].add(Dii)
-    D = D.at[eidx[:, 1]].add(Djj)
+    if onehots is not None:
+        Si, Sj = onehots
+        E = eidx.shape[0]
+        D = (Si.T @ Dii.reshape(E, 9)
+             + Sj.T @ Djj.reshape(E, 9)).reshape(n_cap, 3, 3)
+    else:
+        D = jnp.zeros((n_cap, 3, 3), dtype=dtype)
+        D = D.at[eidx[:, 0]].add(Dii)
+        D = D.at[eidx[:, 1]].add(Djj)
     D = reduce(D)
     fm = free_mask.astype(dtype)
     eye = jnp.eye(3, dtype=dtype)
@@ -249,8 +451,10 @@ def _hessian_diag_blocks(Ji, Jj, W, eidx, free_mask, n_cap, dtype,
 
 
 def _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype,
-              reduce=lambda x: x):
-    """Matrix-free H @ v over the (possibly sharded) edge list (v: (N, 3))."""
+              reduce=lambda x: x, onehots=None):
+    """Matrix-free H @ v over the (possibly sharded) edge list (v: (N, 3)).
+    With `onehots`, the scatter-back runs as Si^T matmuls — essential on
+    TPU where this sits inside every CG iteration (see _edge_onehots)."""
     i = eidx[:, 0]
     j = eidx[:, 1]
     fm = free_mask.astype(dtype)
@@ -264,9 +468,15 @@ def _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype,
         Jiv = jnp.einsum("eij,ej->ei", Ji, vf[i])
         Jjv = jnp.einsum("eij,ej->ei", Jj, vf[j])
         Wr = jnp.einsum("eij,ej->ei", W, Jiv + Jjv)
-        out = jnp.zeros((n_cap, 3), dtype=dtype)
-        out = out.at[i].add(jnp.einsum("eji,ej->ei", Ji, Wr))
-        out = out.at[j].add(jnp.einsum("eji,ej->ei", Jj, Wr))
+        JiWr = jnp.einsum("eji,ej->ei", Ji, Wr)
+        JjWr = jnp.einsum("eji,ej->ei", Jj, Wr)
+        if onehots is not None:
+            Si, Sj = onehots
+            out = Si.T @ JiWr + Sj.T @ JjWr
+        else:
+            out = jnp.zeros((n_cap, 3), dtype=dtype)
+            out = out.at[i].add(JiWr)
+            out = out.at[j].add(JjWr)
         return reduce(out) * fm[:, None] + (1.0 - fm)[:, None] * v
 
     return hvp
@@ -384,12 +594,127 @@ def _lm_candidate_cg(poses, eidx, means, infos, emask, free_mask, lam,
     return cand, cost
 
 
+def _lm_candidate_cg_mixed(poses, eidx, means, infos, emask, free_mask, lam,
+                           cg_rtol, *, n_cap, cg_iters, refine_iters=2,
+                           axis_name=None):
+    """Damped LM step via f32 block-Jacobi PCG + f64 matrix-free iterative
+    refinement — the mixed-precision sibling of `_lm_candidate_cg` (same
+    gauge conventions, same lam*diag(H) damping as the dense paths).
+
+    The inner CG runs entirely in f32: on TPU each HVP is native-rate
+    instead of int-emulated f64 (measured 40-60x, BASELINE.md), and under
+    `axis_name` its per-iteration psum moves half the bytes over ICI.  The
+    outer loop recomputes the damped-system residual matrix-free in f64
+    (O(E) — cheap even emulated; one f64 psum per refinement step) and
+    re-solves the correction in f32, so each refined step is f64-accurate
+    while the FLOPs stay f32 (VERDICT r4 item 2)."""
+    dtype = poses.dtype
+    f32 = jnp.float32
+
+    def _red(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    fm = free_mask.astype(dtype)
+    r, Ji, Jj, W = _edge_blocks(poses, eidx, means, infos, emask)
+    # one-hot segment sums (MXU matmuls, not serialized scatters; TPU
+    # only — see _use_onehot_segsum) — loop-invariant, hoisted by XLA;
+    # under axis_name they are the LOCAL shard's (E_local, N) selections,
+    # reduced by psum afterwards
+    use_oh = _use_onehot_segsum()
+    oh64 = _edge_onehots(eidx, n_cap, dtype) if use_oh else None
+    oh32 = tuple(o.astype(f32) for o in oh64) if use_oh else None
+
+    # f64 rhs, damping diagonal and matrix-free damped operator
+    JiWr = jnp.einsum("eji,ejl,el->ei", Ji, W, r)
+    JjWr = jnp.einsum("eji,ejl,el->ei", Jj, W, r)
+    if use_oh:
+        b = oh64[0].T @ JiWr + oh64[1].T @ JjWr
+    else:
+        b = jnp.zeros((n_cap, 3), dtype=dtype)
+        b = b.at[eidx[:, 0]].add(JiWr)
+        b = b.at[eidx[:, 1]].add(JjWr)
+    b_neg = -_red(b) * fm[:, None]
+    D = _hessian_diag_blocks(Ji, Jj, W, eidx, free_mask, n_cap, dtype,
+                             reduce=_red, onehots=oh64)
+    diag = jnp.diagonal(D, axis1=-2, axis2=-1)  # (N, 3) = diag(H)
+    hvp64 = _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype, reduce=_red,
+                      onehots=oh64)
+
+    def avp64(v):
+        return hvp64(v) + lam * diag * v
+
+    # f32 inner operator + block-Jacobi preconditioner
+    fm32 = free_mask.astype(f32)
+    lam32 = lam.astype(f32)
+    diag32 = diag.astype(f32)
+    hvp32 = _make_hvp(Ji.astype(f32), Jj.astype(f32), W.astype(f32), eidx,
+                      free_mask, n_cap, f32, reduce=_red, onehots=oh32)
+
+    def avp32(v):
+        return hvp32(v) + lam32 * diag32 * v
+
+    eye = jnp.eye(3, dtype=dtype)[None]
+    M = D + lam * D * eye  # damped block diagonal (lam*diag on-diagonal)
+    Minv32 = _inv3x3(M.astype(f32) + 1e-12 * eye.astype(f32))
+
+    def precond(v):
+        return jnp.einsum("nij,nj->ni", Minv32, v)
+
+    def dot(a, bb):
+        return jnp.sum(a * bb)
+
+    def solve32(rhs64):
+        rhs = (rhs64 * fm[:, None]).astype(f32)
+        x = jnp.zeros_like(rhs)
+        res = rhs  # x0 = 0
+        z = precond(res)
+        p = z
+        rz = dot(res, z)
+        rr0 = dot(res, res)
+
+        def body(carry):
+            x, res, p, rz, it = carry
+            Ap = avp32(p)
+            alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+            x = x + alpha * p
+            res = res - alpha * Ap
+            z = precond(res)
+            rz_new = dot(res, z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            return (x, res, p, rz_new, it + 1)
+
+        def cond(carry):
+            _, res, _, _, it = carry
+            return jnp.logical_and(
+                it < cg_iters,
+                dot(res, res)
+                > jnp.maximum((cg_rtol * cg_rtol).astype(f32) * rr0, 1e-30),
+            )
+
+        x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, res, p, rz, 0))
+        return (x * fm32[:, None]).astype(dtype)
+
+    x = solve32(b_neg)
+    for _ in range(refine_iters):
+        x = x + solve32(b_neg - avp64(x))
+
+    cand = poses + x * fm[:, None]
+    cand = cand.at[:, 2].set(_wrap(cand[:, 2]))
+    rr = edge_residuals(cand, eidx, means)
+    per_edge = jnp.einsum("ei,eij,ej->e", rr, infos, rr)
+    cost = _red(jnp.sum(jnp.where(emask, per_edge, 0.0)))
+    return cand, cost
+
+
 def _lm_run_cg_impl(poses, eidx, means, infos, emask, free_mask, lam0, ctol,
-                    cg_rtol, *, n_cap, max_iters, cg_iters, axis_name=None):
+                    cg_rtol, *, n_cap, max_iters, cg_iters, axis_name=None,
+                    mixed=False, refine_iters=2):
     """LM loop with matrix-free PCG steps, fused into one device program.
     Same accept/convergence logic as `lm_run`.  With `axis_name`, edge
     arrays are mesh shards and reductions ride psum (the distributed SPA
-    path, parallel/dist_spa.py)."""
+    path, parallel/dist_spa.py).  With `mixed`, each step runs the f32
+    inner CG + f64 refinement (`_lm_candidate_cg_mixed`)."""
     r0 = edge_residuals(poses, eidx, means)
     pe0 = jnp.einsum("ei,eij,ej->e", r0, infos, r0)
     cost0 = jnp.sum(jnp.where(emask, pe0, 0.0))
@@ -402,10 +727,17 @@ def _lm_run_cg_impl(poses, eidx, means, infos, emask, free_mask, lam0, ctol,
 
     def body(carry):
         p, cost, lam, it, _ = carry
-        cand, new_cost = _lm_candidate_cg(
-            p, eidx, means, infos, emask, free_mask, lam, cg_rtol,
-            n_cap=n_cap, cg_iters=cg_iters, axis_name=axis_name,
-        )
+        if mixed:
+            cand, new_cost = _lm_candidate_cg_mixed(
+                p, eidx, means, infos, emask, free_mask, lam, cg_rtol,
+                n_cap=n_cap, cg_iters=cg_iters, refine_iters=refine_iters,
+                axis_name=axis_name,
+            )
+        else:
+            cand, new_cost = _lm_candidate_cg(
+                p, eidx, means, infos, emask, free_mask, lam, cg_rtol,
+                n_cap=n_cap, cg_iters=cg_iters, axis_name=axis_name,
+            )
         accept = jnp.isfinite(new_cost) & (new_cost <= cost)
         decrease = cost - new_cost
         p = jnp.where(accept, cand, p)
@@ -426,7 +758,7 @@ def _lm_run_cg_impl(poses, eidx, means, infos, emask, free_mask, lam0, ctol,
 
 lm_run_cg = jax.jit(
     _lm_run_cg_impl, static_argnames=("n_cap", "max_iters", "cg_iters",
-                                      "axis_name")
+                                      "axis_name", "mixed", "refine_iters")
 )
 
 
@@ -625,9 +957,15 @@ class PoseGraphSolver:
     AUTO_HOST_NODE_LIMIT = 65536
 
     def __init__(self, dtype=None, solver="auto", dense_node_limit=None,
-                 auto_host_limit=None):
+                 auto_host_limit=None, precision="mixed"):
         self.dtype = dtype  # None -> jax default (x64 on CPU tests)
         self.solver = solver
+        # precision applies to the DEVICE paths only: "mixed" (default)
+        # runs f32 factorization/CG + f64 matrix-free iterative
+        # refinement (VERDICT r4 item 2 — kills the 40-60x f64-emulation
+        # penalty); "f64" forces the all-f64 steps (cross-checks,
+        # profile_spa comparisons).  The host path is always sparse f64.
+        self.precision = precision
         self.dense_node_limit = dense_node_limit or self.DENSE_NODE_LIMIT
         self.auto_host_limit = auto_host_limit or self.AUTO_HOST_NODE_LIMIT
         self.poses = []  # python lists; packed per solve
@@ -727,6 +1065,7 @@ class PoseGraphSolver:
                 jnp.asarray(emask),
             )
             free_j = jnp.asarray(free)
+            mixed = self.precision == "mixed"
             if use_cg:
                 final_poses, cost, iters = lm_run_cg(
                     poses_j, *args, free_j,
@@ -734,6 +1073,14 @@ class PoseGraphSolver:
                     jnp.asarray(conv_tol, dtype=dtype),
                     jnp.asarray(tol, dtype=dtype),
                     n_cap=n_cap, max_iters=max_iters, cg_iters=max_cg_iters,
+                    mixed=mixed,
+                )
+            elif mixed:
+                final_poses, cost, iters = lm_run_mixed(
+                    poses_j, *args, free_j,
+                    jnp.asarray(init_lambda, dtype=dtype),
+                    jnp.asarray(conv_tol, dtype=dtype),
+                    n_cap=n_cap, max_iters=max_iters,
                 )
             else:
                 final_poses, cost, iters = lm_run(
@@ -767,8 +1114,9 @@ class SPA2d:
     /root/reference/yag_slam/graph_slam.py:65,125-126,147,177-178,265,
     269-270)."""
 
-    def __init__(self, dtype=None, solver="auto"):
-        self._solver = PoseGraphSolver(dtype=dtype, solver=solver)
+    def __init__(self, dtype=None, solver="auto", precision="mixed"):
+        self._solver = PoseGraphSolver(dtype=dtype, solver=solver,
+                                       precision=precision)
 
     def add_node(self, x, y, yaw, node_id):
         self._solver.add_node(x, y, yaw, node_id)

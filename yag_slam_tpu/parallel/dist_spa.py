@@ -45,14 +45,19 @@ def _edge_cost_local(poses, eidx, means, infos, emask, axis):
     return jax.lax.psum(jnp.sum(jnp.where(emask, per_edge, 0.0)), axis)
 
 
-def make_distributed_lm_run_cg(mesh, n_cap, max_iters, cg_iters, axis="dp"):
+def make_distributed_lm_run_cg(mesh, n_cap, max_iters, cg_iters, axis="dp",
+                               mixed=True):
     """Build the sharded matrix-free LM program: edges sharded over `axis`,
     poses replicated, psum-reduced rhs/preconditioner/HVPs (see
-    graphopt.spa._lm_candidate_cg)."""
+    graphopt.spa._lm_candidate_cg).  mixed=True (default) runs the f32
+    inner CG + f64 refinement step (graphopt.spa._lm_candidate_cg_mixed):
+    the per-CG-iteration psum moves f32 bytes over ICI and the HVPs run
+    at native rate, with one f64 psum per refinement step."""
 
     body = partial(
         _lm_run_cg_impl,
         n_cap=n_cap, max_iters=max_iters, cg_iters=cg_iters, axis_name=axis,
+        mixed=mixed,
     )
     sharded = shard_map(
         body,
@@ -125,12 +130,13 @@ class DistributedSPA:
     only.
     """
 
-    def __init__(self, mesh, axis="dp", dtype=None, solver="cg"):
+    def __init__(self, mesh, axis="dp", dtype=None, solver="cg", mixed=True):
         from yag_slam_tpu.graphopt.spa import PoseGraphSolver
 
         self.mesh = mesh
         self.axis = axis
         self.solver = solver
+        self.mixed = mixed  # f32 inner CG + f64 refinement (cg path)
         self._solver = PoseGraphSolver(dtype=dtype)
         self._programs = {}
 
@@ -177,12 +183,13 @@ class DistributedSPA:
         free = np.zeros(n_cap, dtype=bool)
         free[1:n] = True
 
-        key = (self.solver, n_cap, e_cap, niter, max_cg_iters)
+        key = (self.solver, n_cap, e_cap, niter, max_cg_iters, self.mixed)
         prog = self._programs.get(key)
         if prog is None:
             if self.solver == "cg":
                 prog = make_distributed_lm_run_cg(
-                    self.mesh, n_cap, niter, max_cg_iters, self.axis
+                    self.mesh, n_cap, niter, max_cg_iters, self.axis,
+                    mixed=self.mixed,
                 )
             else:
                 prog = make_distributed_lm_run(

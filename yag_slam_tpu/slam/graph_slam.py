@@ -70,6 +70,7 @@ class GraphSlam:
         *,
         bug_compatible_fine_gate=False,
         bug_compatible_chain_gate=False,
+        opt=None,
     ):
         self.seq_matcher = seq_matcher
         self.loop_matcher = loop_matcher
@@ -82,7 +83,10 @@ class GraphSlam:
         self.near_scan_visitor = make_near_scan_visitor(loop_search_dist)
 
         self.running_scans = []
-        self.opt = SPA2d()
+        # optimizer override: any SPA2d-contract solver drops in — e.g.
+        # parallel.dist_spa.DistributedSPA for a mesh-sharded global solve
+        # alongside a ShardedLoopMatcher (the fully sharded stack)
+        self.opt = opt if opt is not None else SPA2d()
 
         self.search = RadiusHashSearch([], res=self.loop_search_dist)
         self.min_response_coarse = min_response_coarse
