@@ -116,6 +116,20 @@ def test_viz_smoke(tmp_path):
 
     assert os.path.getsize(out) > 1000
 
+    # 3-D inspector (the threeviz-equivalent view) renders too
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    import matplotlib.pyplot as plt
+
+    from yag_slam_tpu.utils.viz import visualize_slam_3d
+
+    ax3 = visualize_slam_3d(slam)
+    p3 = str(tmp_path / "map3d.png")
+    ax3.figure.savefig(p3, dpi=80)
+    plt.close(ax3.figure)
+    assert os.path.getsize(p3) > 1000
+
 
 def test_stage_timer():
     from yag_slam_tpu.utils.profiling import StageTimer
