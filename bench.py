@@ -116,12 +116,24 @@ def bench_device(scans):
     single_rates = {}
     warm = build_stream(len(stream), seed=1)
     # a distinct timed stream per mode so neither inherits the other's
-    # device-library uploads
-    timed_streams = {"stream": stream, "block": build_stream(len(stream),
-                                                             seed=2)}
-    for mode in ("stream", "block"):
-        pipe = OnlineMatchPipeline(m, window=N_BASE, sync_every=8,
-                                   block_dispatch=(mode == "block"))
+    # device-library uploads; mode -> (sync_every, block, lag_blocks).
+    # The lowlat modes are small blocks with lagged readback (VERDICT r4
+    # item 3): a group's transfer overlaps the next block's compute, so
+    # per-scan latency is bounded by sync_every*(lag+1) pushes instead of
+    # the block-8 window, while still ONE RPC pair per block.
+    modes = {
+        "stream": (8, False, 0),
+        "block": (8, True, 0),
+        "lowlat_s2_l1": (2, True, 1),
+        "lowlat_s4_l1": (4, True, 1),
+    }
+    timed_streams = {
+        mode: (stream if i == 0 else build_stream(len(stream), seed=2 + i))
+        for i, mode in enumerate(modes)
+    }
+    for mode, (sync_every, block, lag) in modes.items():
+        pipe = OnlineMatchPipeline(m, window=N_BASE, sync_every=sync_every,
+                                   block_dispatch=block, lag_blocks=lag)
         _log(f"warm: pipeline {mode}")
         pipe.seed(warm[:N_BASE])
         for s in warm[N_BASE:]:
@@ -135,7 +147,7 @@ def bench_device(scans):
             pipe.push(s)
         n_done = len(pipe.flush())
         single_rates[mode] = n_done / (time.time() - t0)
-    single_rate = max(single_rates.values())
+    single_rate = max(single_rates[m] for m in ("stream", "block"))
 
     # lockstep online path, distinct inputs, pipelined one-deep: the
     # dispatch of match i overlaps the readback of match i-1 (jax
@@ -327,7 +339,8 @@ def main():
     _log("spa device cg")
     try:
         # device matrix-free PCG (the distributed-SPA building block) at a
-        # pod-scale graph size, on the current backend
+        # pod-scale graph size, on the current backend — mixed-precision
+        # by default (f32 inner CG + f64 refinement)
         # 500 nodes matches the BASELINE.md crossover table row; the 4k
         # point is measured offline (profile_spa) — at 4k a single solve
         # took 463 s in the tunnel's degraded regime, which would eat the
@@ -337,6 +350,11 @@ def main():
         )
     except Exception:
         spa_dev_time, spa_dev_nodes = float("nan"), 0
+    _log("spa device dense mixed")
+    try:
+        spa_dense_time, _ = bench_spa(n_nodes=500, repeats=1, solver="dense")
+    except Exception:
+        spa_dense_time = float("nan")
     _log("cpu baseline 20m")
     try:
         baseline = bench_reference_native(scans)
@@ -359,6 +377,12 @@ def main():
         ),
         "single_stream": round(single_rate, 2),
         "single_stream_by_mode": {k: round(v, 2) for k, v in srates.items()},
+        # lowlat: small-block + lagged-readback online mode; latency is
+        # bounded by sync_every*(lag+1) pushes (2*2=4 / 4*2=8), vs the
+        # block-8 pipeline's 8-push window
+        "single_stream_lowlat": round(
+            max(v for k, v in srates.items() if k.startswith("lowlat")), 2
+        ),
         "single_stream_lockstep": round(lockstep_rate, 2),
         "batched": round(batched_rate, 2),
         "batched_by_size": {str(k): round(v, 2) for k, v in brates.items()},
@@ -380,9 +404,14 @@ def main():
         out["spa_solve_ms_host"] = round(spa_time * 1000.0, 1)
         out["spa_nodes_host"] = spa_nodes
     if spa_dev_time == spa_dev_time:
-        # DEVICE matrix-free PCG on the current backend
+        # DEVICE matrix-free PCG on the current backend (mixed precision)
         out["spa_solve_ms_device_cg"] = round(spa_dev_time * 1000.0, 1)
         out["spa_nodes_device_cg"] = spa_dev_nodes
+    if spa_dense_time == spa_dense_time:
+        # DEVICE dense mixed-precision LM (f32 Cholesky + f64 refinement)
+        out["spa_solve_ms_device_dense_mixed"] = round(
+            spa_dense_time * 1000.0, 1
+        )
     print(json.dumps(out))
 
 

@@ -330,6 +330,56 @@ def main():
     results["reduce_ms"] = t * 1000.0
     print(f"reduce:         {t*1000:8.2f} ms")
 
+    # ---- utilization vs chip peaks (VERDICT r4 item 7) ----------------------
+    # Anchor "fast" to the hardware, not just to the CPU baseline.  v5e
+    # peaks (public: jax-ml.github.io/scaling-book): MXU 197 TFLOP/s bf16
+    # / ~49 TFLOP/s f32, HBM 819 GB/s.  This workload's hot ops are
+    # elementwise multiply/max/add (grid build = weighted max-dilation,
+    # scoring = masked window sums), which run on the VPU — the MXU is
+    # idle by design except the opt-in mxu-scorer variant — so the
+    # meaningful ceilings are HBM bandwidth for the build (it streams the
+    # grid) and VPU issue rate for the VMEM-resident scorer; MXU-relative
+    # MFU is reported for scale.
+    V5E_HBM_GBPS = 819.0
+    V5E_MXU_F32_TFLOPS = 49.0
+    M = B * P
+    from yag_slam_tpu.matching.pallas_kernels import _round_up as _ru
+    R0 = _ru(S + 2 * h + 1, 8) + 8
+    util = {}
+    if "build_fused_ms" in results:
+        t_s = results["build_fused_ms"] / 1e3
+        flops = N * (M + 3 * (2 * h + 1) * S * S)
+        bytes_ = N * (S * S * 2 + R0 * Cpad * 2 + M * 8)
+        util["build_fused"] = {
+            "gflops": flops / t_s / 1e9,
+            "hbm_gbps": bytes_ / t_s / 1e9,
+            "hbm_util_pct": 100.0 * bytes_ / t_s / 1e9 / V5E_HBM_GBPS,
+            "mxu_f32_mfu_pct": 100.0 * flops / t_s / 1e12 / V5E_MXU_F32_TFLOPS,
+        }
+    for name, spec in (("coarse", coarse_spec), ("fine", fine_spec)):
+        key = f"score_{name}_roll_ms"
+        if key not in results:
+            continue
+        t_s = results[key] / 1e3
+        # per candidate x point: 1 multiply-accumulate into the window sum
+        # (+ the per-theta rotate, negligible at NX*NY >> 1)
+        flops = 2.0 * N * spec.nx * spec.ny * spec.nt * P
+        bytes_ = N * S * S * 2 + N * spec.nx * spec.ny * spec.nt * 4
+        util[f"score_{name}_roll"] = {
+            "gflops": flops / t_s / 1e9,
+            "hbm_gbps": bytes_ / t_s / 1e9,
+            "hbm_util_pct": 100.0 * bytes_ / t_s / 1e9 / V5E_HBM_GBPS,
+            "mxu_f32_mfu_pct": 100.0 * flops / t_s / 1e12 / V5E_MXU_F32_TFLOPS,
+        }
+    if util and jax.default_backend() == "tpu":
+        print("\nutilization vs v5e peaks (HBM 819 GB/s, MXU f32 49 TFLOP/s):")
+        for k, u in util.items():
+            print(f"  {k:18s}: {u['gflops']:8.1f} GFLOP/s "
+                  f"({u['mxu_f32_mfu_pct']:5.2f}% MXU-f32) | "
+                  f"{u['hbm_gbps']:7.1f} GB/s "
+                  f"({u['hbm_util_pct']:5.1f}% HBM)")
+        results["utilization"] = util
+
     if args_ns.out:
         with open(args_ns.out, "w") as f:
             json.dump(results, f, indent=1)

@@ -13,10 +13,10 @@ from yag_slam_tpu.core.transform import se2_compose, se2_relative
 from yag_slam_tpu.graphopt.spa import SPA2d
 
 
-def build(n_nodes, solver):
+def build(n_nodes, solver, precision="mixed"):
     rng = np.random.default_rng(0)
     side = max(n_nodes // 4, 1)
-    spa = SPA2d(solver=solver)
+    spa = SPA2d(solver=solver, precision=precision)
     true = [np.array([0.0, 0.0, 0.0])]
     for s in range(4):
         for _ in range(side):
@@ -43,34 +43,38 @@ def main():
 
     print(f"backend: {jax.default_backend()}")
     sizes = [100, 500, 1000, 2000, 4000]
-    solvers = ["host", "dense", "cg"]
-    print(f"{'nodes':>6} | " + " | ".join(f"{s:>10}" for s in solvers)
+    # (solver, precision) columns: "mixed" = f32 factorization/CG + f64
+    # matrix-free iterative refinement; "f64" = all-emulated-f64 steps
+    cols = [("host", "f64"), ("dense", "mixed"), ("dense", "f64"),
+            ("cg", "mixed"), ("cg", "f64")]
+    names = [f"{s}:{p}" if s != "host" else s for s, p in cols]
+    print(f"{'nodes':>6} | " + " | ".join(f"{s:>11}" for s in names)
           + "  (best-of-3 ms; cost must agree)")
     rows = {}
     for n in sizes:
         times = {}
         costs = {}
-        for solver in solvers:
+        for (solver, prec), name in zip(cols, names):
             # a failing cell (e.g. the dense 3N^2 f64 system OOMs HBM at
             # n>=2000 — XLA pads the emulated-f64 matrix ~57x) must not
             # kill the remaining rows
             try:
-                build(n, solver).compute(100, 1e-4, True, 1e-9, 200)
+                build(n, solver, prec).compute(100, 1e-4, True, 1e-9, 200)
                 best = float("inf")
                 for _ in range(3):
-                    spa = build(n, solver)
+                    spa = build(n, solver, prec)
                     t0 = time.time()
                     c = spa.compute(100, 1e-4, True, 1e-9, 200)
                     best = min(best, time.time() - t0)
-                times[solver] = best * 1e3
-                costs[solver] = c
+                times[name] = best * 1e3
+                costs[name] = c
             except Exception as e:
-                print(f"  [{solver} @ {n}: {type(e).__name__} "
+                print(f"  [{name} @ {n}: {type(e).__name__} "
                       f"{str(e).splitlines()[0][:90]}]")
-                times[solver] = float("nan")
+                times[name] = float("nan")
         rows[n] = times
         print(f"{n:>6} | " + " | ".join(
-            f"{times[s]:>10.1f}" for s in solvers)
+            f"{times[s]:>11.1f}" for s in names)
             + f"   chi2={costs.get('host', float('nan')):.4g}")
     return rows
 
