@@ -543,6 +543,38 @@ def test_match_many_expansion_batched():
                           single.best_pose.euler[-1], atol=1e-9)
 
 
+def test_match_many_mega_matches_match_many():
+    """match_many_mega (whole job list as ONE lax.scan program) must
+    reproduce match_many exactly, including chunk padding (N not a
+    multiple of chunk) and jobs that need response expansion."""
+    cfg = dict(TEST_CFG)
+    base = [_arc_scan(0.0, 0.0, 0.0)]
+    queries = (
+        [_arc_scan(0.0, 0.0, 0.02 * i) for i in range(3)]
+        + [_arc_scan(0.0, 0.0, 0.45)]          # expansion-needing
+        + [_arc_scan(0.0, 0.0, -0.03)]
+    )
+    for q in queries:
+        q.corrected_pose = q.odom_pose
+    jobs = [(q, base) for q in queries]        # N=5, chunk=2 -> pad to 6
+
+    m1 = CorrelativeScanMatcher(cfg, use_pallas=False)
+    ref = m1.match_many(jobs, penalty=False, do_fine=True)
+    m2 = CorrelativeScanMatcher(cfg, use_pallas=False)
+    got = m2.match_many_mega(jobs, penalty=False, do_fine=True, chunk=2)
+    assert len(got) == len(ref) == 5
+    for a, b in zip(ref, got):
+        assert np.isclose(a.response, b.response, rtol=1e-9)
+        assert np.isclose(a.best_pose.x, b.best_pose.x, atol=1e-9)
+        assert np.isclose(a.best_pose.euler[-1], b.best_pose.euler[-1],
+                          atol=1e-9)
+        # different batch shapes change f64 reduction order; near-zero
+        # off-diagonal moments wobble at ~1e-9 absolute
+        np.testing.assert_allclose(a.covariance, b.covariance, rtol=1e-6,
+                                   atol=1e-8)
+    assert got[3].response > 0.0  # expansion recovered through mega too
+
+
 @pytest.mark.parametrize("stride", [1, 2])
 @pytest.mark.parametrize("hybrid", [True, False])
 def test_vmem_scorer_matches_gather_paths(stride, hybrid):

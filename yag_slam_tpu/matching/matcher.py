@@ -1016,6 +1016,83 @@ class CorrelativeScanMatcher:
             fine = coarse
         return coarse, fine
 
+    def match_many_mega(self, jobs, penalty=True, do_fine=True, chunk=16):
+        """Score an arbitrarily long job list as ONE compiled program.
+
+        A `lax.scan` over fixed-size chunks of the batched core: one
+        dispatch + one packed readback TOTAL regardless of len(jobs), so
+        wall-clock is bounded by device time plus a single RPC round
+        trip — the offline / loop-closure-burst throughput path that
+        survives even the tunnel's degraded per-dispatch regime (the
+        bench's 819 matches/s headline is this shape).  Results are
+        identical to :meth:`match_many`; jobs needing response expansion
+        are retried afterwards as widened sub-batches (O(attempts)
+        additional programs)."""
+        if not jobs:
+            return []
+        all_scans = [q for q, _ in jobs] + [s for _, bs in jobs for s in bs]
+        P = self._ensure_point_cap(all_scans)
+        B = self._base_bucket(max(len(bs) for _, bs in jobs))
+        N = len(jobs)
+        n_ch = (N + chunk - 1) // chunk
+        N_pad = n_ch * chunk
+        idx, mask, pose, q_idx, center, sub, S = self._assemble_jobs(
+            jobs, P, B, n_pad=N_pad
+        )
+        # padded rows re-dispatch job 0's metadata (cheap, ignored below)
+        if N_pad > N:
+            for a in (idx, mask, pose, q_idx, center, sub):
+                a[N:] = a[:1]
+        args = (idx, mask, pose, q_idx, center, center[:, :2], sub)
+
+        key = ("mega", P, B, bool(penalty), bool(do_fine), S, chunk)
+        prog = self._programs.get(key)
+        if prog is None:
+            core = self._make_core(
+                P, B, bool(penalty), bool(do_fine),
+                self.config.coarse_search_angle_offset, S,
+            )
+
+            def mega(lib, *chunked):
+                def body(carry, xs):
+                    return carry, core(lib, *xs)[0]
+
+                _, packs = jax.lax.scan(body, 0, chunked)
+                return packs  # (n_ch, chunk, 2, 8)
+
+            prog = jax.jit(mega)
+            self._programs[key] = prog
+
+        chunked = tuple(
+            np.ascontiguousarray(a).reshape((n_ch, chunk) + a.shape[1:])
+            for a in args
+        )
+        packed = np.asarray(
+            prog(self.library.fields, *chunked)
+        ).reshape(N_pad, 2, 8)
+        coarse_r, fine_r = packed[:, 0], packed[:, 1]
+        need = [
+            j for j in range(N)
+            if float(coarse_r[j][0]) <= 0.0
+            and self.config.use_response_expansion
+        ]
+        retried = (
+            self._expansion_retries_many(args, need, P, B, penalty,
+                                         do_fine, S)
+            if need
+            else {}
+        )
+        results = []
+        for j in range(N):
+            c, f, off = retried.get(
+                j, (coarse_r[j], fine_r[j],
+                    self.config.coarse_search_angle_offset)
+            )
+            results.append(self._assemble(c, f, do_fine, None,
+                                          center=center[j],
+                                          coarse_offset=off))
+        return results
+
     def _assemble(self, coarse, fine, do_fine, outs, center=None,
                   coarse_offset=None):
         cfg = self.config
