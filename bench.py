@@ -278,33 +278,15 @@ def bench_spa(n_nodes=500, repeats=3, solver=None):
     "SPA solver crossover") — that number is HOST CPU time and is labeled
     as such in the output.  solver="cg" times the device matrix-free PCG
     path (the distributed building block) on the current backend."""
-    from yag_slam_tpu.core.transform import se2_compose, se2_relative
     from yag_slam_tpu.graphopt.spa import SPA2d
+    from yag_slam_tpu.io.benchmark import noisy_loop_pose_graph, populate_spa
 
-    rng = np.random.default_rng(0)
-    side = n_nodes // 4
+    graph = noisy_loop_pose_graph(n_nodes)
 
     def build2():
-        spa = SPA2d() if solver is None else SPA2d(solver=solver)
-        true = [np.array([0.0, 0.0, 0.0])]
-        for s in range(4):
-            for _ in range(side):
-                true.append(se2_compose(true[-1], np.array([0.5, 0.0, 0.0])))
-            true.append(se2_compose(true[-1], np.array([0.0, 0.0, np.pi / 2])))
-        guess = [true[0]]
-        means = []
-        for i in range(len(true) - 1):
-            mean = se2_relative(true[i + 1], true[i]) + rng.normal(0, 0.01, 3)
-            guess.append(se2_compose(guess[-1], mean))
-            means.append((i, i + 1, mean))
-        for i, g in enumerate(guess):
-            spa.add_node(g[0], g[1], g[2], i)
-        info = np.diag([100.0, 100.0, 400.0]).tolist()
-        for i, j, mean in means:
-            spa.add_constraint(i, j, *mean, info)
-        spa.add_constraint(len(true) - 1, 0,
-                           *se2_relative(true[0], true[-1]), info)
-        return spa
+        return populate_spa(
+            SPA2d() if solver is None else SPA2d(solver=solver), *graph
+        )
 
     spa = build2()
     spa.compute(100, 1.0e-4, True, 1.0e-9, 50)  # warm compile

@@ -9,33 +9,15 @@ import time
 
 import numpy as np
 
-from yag_slam_tpu.core.transform import se2_compose, se2_relative
 from yag_slam_tpu.graphopt.spa import SPA2d
+from yag_slam_tpu.io.benchmark import noisy_loop_pose_graph, populate_spa
 
 
 def build(n_nodes, solver, precision="mixed"):
-    rng = np.random.default_rng(0)
-    side = max(n_nodes // 4, 1)
-    spa = SPA2d(solver=solver, precision=precision)
-    true = [np.array([0.0, 0.0, 0.0])]
-    for s in range(4):
-        for _ in range(side):
-            true.append(se2_compose(true[-1], np.array([0.5, 0.0, 0.0])))
-        true.append(se2_compose(true[-1], np.array([0.0, 0.0, np.pi / 2])))
-    guess = [true[0]]
-    means = []
-    for i in range(len(true) - 1):
-        mean = se2_relative(true[i + 1], true[i]) + rng.normal(0, 0.01, 3)
-        guess.append(se2_compose(guess[-1], mean))
-        means.append((i, i + 1, mean))
-    for i, g in enumerate(guess):
-        spa.add_node(g[0], g[1], g[2], i)
-    info = np.diag([100.0, 100.0, 400.0]).tolist()
-    for i, j, mean in means:
-        spa.add_constraint(i, j, *mean, info)
-    spa.add_constraint(len(true) - 1, 0, *se2_relative(true[0], true[-1]),
-                       info)
-    return spa
+    return populate_spa(
+        SPA2d(solver=solver, precision=precision),
+        *noisy_loop_pose_graph(n_nodes),
+    )
 
 
 def main():

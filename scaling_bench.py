@@ -41,30 +41,13 @@ def build_jobs(n_jobs, n_beams=180):
 
 
 def build_spa_graph(spa, n_nodes, seed=0):
-    """Noisy square-loop pose graph with `n_nodes` nodes + closure edge."""
-    from yag_slam_tpu.core.transform import se2_compose, se2_relative
+    """The shared noisy square-loop benchmark graph (io.benchmark) loaded
+    into `spa`; returns the node count."""
+    from yag_slam_tpu.io.benchmark import noisy_loop_pose_graph, populate_spa
 
-    rng = np.random.default_rng(seed)
-    side = max(n_nodes // 4, 1)
-    true = [np.array([0.0, 0.0, 0.0])]
-    for s in range(4):
-        for _ in range(side):
-            true.append(se2_compose(true[-1], np.array([0.5, 0.0, 0.0])))
-        true.append(se2_compose(true[-1], np.array([0.0, 0.0, np.pi / 2])))
-    guess = [true[0]]
-    info = np.diag([100.0, 100.0, 400.0]).tolist()
-    means = []
-    for i in range(len(true) - 1):
-        mean = se2_relative(true[i + 1], true[i]) + rng.normal(0, 0.01, 3)
-        guess.append(se2_compose(guess[-1], mean))
-        means.append((i, i + 1, mean))
-    for i, g in enumerate(guess):
-        spa.add_node(g[0], g[1], g[2], i)
-    for i, j, mean in means:
-        spa.add_constraint(i, j, *mean, info)
-    spa.add_constraint(len(true) - 1, 0,
-                       *se2_relative(true[0], true[-1]), info)
-    return len(guess)
+    guesses, edges, info = noisy_loop_pose_graph(n_nodes, seed=seed)
+    populate_spa(spa, guesses, edges, info)
+    return len(guesses)
 
 
 def bench_dist_spa(sizes, edges_per_device=512, repeats=3):

@@ -467,6 +467,37 @@ def test_karto_penalty_mode_golden():
     )
     np.testing.assert_allclose(np.asarray(out_s), want, atol=1e-12)
 
+    # FINE-pass geometry: the search center moves to the coarse best pose
+    # while the grid (ox, oy) stays put — OpenKarto measures the distance
+    # penalty from the PASS's search center, not the grid center (the
+    # batched scorers previously derived it from ox/oy)
+    cx2, cy2, ct2 = cx + 0.13, cy - 0.07, ct + 0.05
+    fspec = C.LatticeSpec.from_search(0.0, 0.0, 0.0, 0.04, 0.02,
+                                      0.01745, 0.00349)
+    want_f = _karto_penalty_oracle(
+        q2d, qx, qy, cx2, cy2, ct2, ox, oy, sox, soy, fspec,
+        0.04, 0.02, 0.01745, 0.00349, G, S, res, kp,
+    )
+    args_f = (
+        jnp.asarray(qx)[None], jnp.asarray(qy)[None],
+        jnp.asarray([float(P)]), jnp.asarray([cx2]), jnp.asarray([cy2]),
+        jnp.asarray([ct2]), jnp.asarray([ox]), jnp.asarray([oy]),
+        jnp.asarray([sox]), jnp.asarray([soy]),
+    )
+    out_f, *_ = C.score_lattice_batched(
+        qflat, *args_f, spec=fspec, xy_size=0.04, xy_res=0.02,
+        ang_size=0.01745, ang_res=0.00349, grid_size=G, grid_res=res,
+        sub_size=S, penalize=True, dtype=jnp.float64, karto_penalties=kp,
+    )
+    np.testing.assert_allclose(np.asarray(out_f)[0], want_f, atol=1e-12)
+    out_fp, *_ = C.score_lattice_patch_batched(
+        jnp.asarray(q2d)[None], *args_f, spec=fspec, xy_size=0.04,
+        xy_res=0.02, ang_size=0.01745, ang_res=0.00349, grid_size=G,
+        grid_res=res, sub_size=S, penalize=True, dtype=jnp.float64,
+        karto_penalties=kp,
+    )
+    np.testing.assert_allclose(np.asarray(out_fp)[0], want_f, atol=1e-12)
+
 
 def test_karto_penalty_mode_end_to_end():
     """A matcher constructed with use_karto_penalties=True still recovers
@@ -541,6 +572,29 @@ def test_match_many_expansion_batched():
         assert np.isclose(r.response, single.response, rtol=1e-9)
         assert np.isclose(r.best_pose.euler[-1],
                           single.best_pose.euler[-1], atol=1e-9)
+
+
+def test_degenerate_fixup_survives_f32_far_from_origin():
+    """The zero-response reference-exact fixup must still fire when the
+    matcher runs in float32 and the trajectory sits tens of meters from
+    the origin: the full-lattice tie mean is computed on device in f32,
+    so the consistency check must tolerate f32 spacing at that magnitude
+    (a fixed 1e-6 silently disabled the fixup beyond ~10 m)."""
+    cfg = dict(TEST_CFG, use_response_expansion=False)
+    X, Y = 20.0, -15.0
+    base = [_arc_scan(X, Y, 0.0)]
+    query = _arc_scan(X, Y, 0.5)  # outside the angular window -> response 0
+    query.corrected_pose = query.odom_pose
+
+    m = CorrelativeScanMatcher(cfg, dtype=jnp.float32, use_pallas=False,
+                               use_patch=False, use_vmem_score=False)
+    r = m.match_scan(query, base, penalty=False, do_fine=True)
+    assert r.response <= 0.0
+    # reference-exact expectation: arange means at the true centers
+    res = cfg["resolution"]
+    bx = float(np.arange(X - 0.25, X + 0.25, res * 2).mean())
+    fx = float(np.arange(bx - res * 2, bx + res * 2, res).mean())
+    assert abs(r.best_pose.x - fx) < 1e-4, (r.best_pose.x, fx)
 
 
 def test_match_many_mega_matches_match_many():

@@ -311,13 +311,16 @@ def build_normal_equations_matmul(poses, eidx, means, infos, emask,
 
 
 def _damped_system_f64(poses, eidx, means, infos, emask, free_mask, lam,
-                       onehots=None):
-    """f64 pieces of the damped normal equations, matrix-free: returns
-    (b_neg (N,3), avp64, diag64 (N,3)) with gauge/padding handled as in
-    the dense assembly (identity rows scaled by (1 + lam))."""
+                       onehots=None, reduce=lambda x: x, blocks=None):
+    """Damped normal equations in the poses' dtype, matrix-free: returns
+    (b_neg (N,3), avp, diag (N,3), D (N,3,3)) with gauge/padding handled
+    as in the dense assembly (identity rows scaled by (1 + lam)).
+    `reduce` psums edge-shard partials under shard_map; `blocks` lets the
+    caller reuse precomputed `_edge_blocks` output."""
     dtype = poses.dtype
     n_cap = poses.shape[0]
-    r, Ji, Jj, W = _edge_blocks(poses, eidx, means, infos, emask)
+    r, Ji, Jj, W = (blocks if blocks is not None
+                    else _edge_blocks(poses, eidx, means, infos, emask))
     fm = free_mask.astype(dtype)
     JiWr = jnp.einsum("eji,ejl,el->ei", Ji, W, r)
     JjWr = jnp.einsum("eji,ejl,el->ei", Jj, W, r)
@@ -328,19 +331,19 @@ def _damped_system_f64(poses, eidx, means, infos, emask, free_mask, lam,
         b = jnp.zeros((n_cap, 3), dtype=dtype)
         b = b.at[eidx[:, 0]].add(JiWr)
         b = b.at[eidx[:, 1]].add(JjWr)
-    b_neg = -b * fm[:, None]
+    b_neg = -reduce(b) * fm[:, None]
     D = _hessian_diag_blocks(Ji, Jj, W, eidx, free_mask, n_cap, dtype,
-                             onehots=onehots)
+                             reduce=reduce, onehots=onehots)
     diag = jnp.diagonal(D, axis1=-2, axis2=-1)  # (N, 3) = diag(H)
     hvp = _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype,
-                    onehots=onehots)
+                    reduce=reduce, onehots=onehots)
 
     def avp(v):
         # identity rows for fixed/padded nodes also get the + lam*diag
         # term (diag = 1 there), matching Haug = H + lam*diag(H) exactly
         return hvp(v) + lam * diag * v
 
-    return b_neg, avp, diag
+    return b_neg, avp, diag, D
 
 
 def _lm_candidate_mixed(poses, eidx, means, infos, emask, free_mask, lam,
@@ -368,7 +371,7 @@ def _lm_candidate_mixed(poses, eidx, means, infos, emask, free_mask, lam,
     d32 = jnp.diag(H32)
     L32 = jnp.linalg.cholesky(H32 + jnp.diag(lam.astype(f32) * d32))
 
-    b_neg, avp, _ = _damped_system_f64(
+    b_neg, avp, _, _ = _damped_system_f64(
         poses, eidx, means, infos, emask, free_mask, lam, onehots=oh64
     )
 
@@ -615,7 +618,8 @@ def _lm_candidate_cg_mixed(poses, eidx, means, infos, emask, free_mask, lam,
         return jax.lax.psum(x, axis_name) if axis_name else x
 
     fm = free_mask.astype(dtype)
-    r, Ji, Jj, W = _edge_blocks(poses, eidx, means, infos, emask)
+    blocks = _edge_blocks(poses, eidx, means, infos, emask)
+    r, Ji, Jj, W = blocks
     # one-hot segment sums (MXU matmuls, not serialized scatters; TPU
     # only — see _use_onehot_segsum) — loop-invariant, hoisted by XLA;
     # under axis_name they are the LOCAL shard's (E_local, N) selections,
@@ -624,24 +628,12 @@ def _lm_candidate_cg_mixed(poses, eidx, means, infos, emask, free_mask, lam,
     oh64 = _edge_onehots(eidx, n_cap, dtype) if use_oh else None
     oh32 = tuple(o.astype(f32) for o in oh64) if use_oh else None
 
-    # f64 rhs, damping diagonal and matrix-free damped operator
-    JiWr = jnp.einsum("eji,ejl,el->ei", Ji, W, r)
-    JjWr = jnp.einsum("eji,ejl,el->ei", Jj, W, r)
-    if use_oh:
-        b = oh64[0].T @ JiWr + oh64[1].T @ JjWr
-    else:
-        b = jnp.zeros((n_cap, 3), dtype=dtype)
-        b = b.at[eidx[:, 0]].add(JiWr)
-        b = b.at[eidx[:, 1]].add(JjWr)
-    b_neg = -_red(b) * fm[:, None]
-    D = _hessian_diag_blocks(Ji, Jj, W, eidx, free_mask, n_cap, dtype,
-                             reduce=_red, onehots=oh64)
-    diag = jnp.diagonal(D, axis1=-2, axis2=-1)  # (N, 3) = diag(H)
-    hvp64 = _make_hvp(Ji, Jj, W, eidx, free_mask, n_cap, dtype, reduce=_red,
-                      onehots=oh64)
-
-    def avp64(v):
-        return hvp64(v) + lam * diag * v
+    # f64 rhs, damping diagonal and matrix-free damped operator (shared
+    # assembly with the dense-mixed path)
+    b_neg, avp64, diag, D = _damped_system_f64(
+        poses, eidx, means, infos, emask, free_mask, lam,
+        onehots=oh64, reduce=_red, blocks=blocks,
+    )
 
     # f32 inner operator + block-Jacobi preconditioner
     fm32 = free_mask.astype(f32)
@@ -945,15 +937,16 @@ class PoseGraphSolver:
     """
 
     DENSE_NODE_LIMIT = 1024
-    # Measured on TPU v5e (profile_spa.py; full table in BASELINE.md "SPA
-    # solver crossover"): the host sparse f64 path wins at every
-    # single-chip size measured (6.6 ms vs 202 ms dense / 183 ms CG at
-    # 100 nodes, through 1.62 s vs OOM / 20.3 s at 4000) — f64 emulation
-    # + per-iteration latency swamp the device, and the dense system OOMs
-    # HBM at n >= 2000.  There is no single-chip crossover; the device
-    # paths earn their keep only as the building block of the
-    # *distributed* solve (parallel/dist_spa.py).  The limit stays a knob
-    # for pod-attached deployments.
+    # Measured on TPU v5e (profile_spa.py; round-5 table in BASELINE.md
+    # "SPA solver crossover"): mixed precision + MXU one-hot segment sums
+    # cut the device cost 5.7-15x (dense 1433->93 ms at 500 nodes, cg
+    # 5.1-20.5 s -> 0.9-2.9 s at 500-2000), but the host sparse f64 path
+    # still wins at every single-chip size (6.3/51/76/562/1380 ms at
+    # 100/500/1000/2000/4000) — the residual gap is per-iteration latency
+    # on an ill-conditioned chain, not FLOPs.  Still no single-chip
+    # crossover; the device paths earn their keep as the building block
+    # of the *distributed* solve (parallel/dist_spa.py).  The limit stays
+    # a knob for pod-attached deployments.
     AUTO_HOST_NODE_LIMIT = 65536
 
     def __init__(self, dtype=None, solver="auto", dense_node_limit=None,

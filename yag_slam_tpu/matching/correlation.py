@@ -530,7 +530,7 @@ def score_lattice_batched(
         penalty = _lattice_penalty(
             xvals, yvals, tvals, ct, ox, oy, grid_size=G, grid_res=grid_res,
             dist_var_penalty=dist_var_penalty,
-            ang_var_penalty=ang_var_penalty, karto=karto_penalties,
+            ang_var_penalty=ang_var_penalty, karto=karto_penalties, cx=cx, cy=cy,
         )
     else:
         penalty = jnp.ones((), dtype=dtype)
@@ -540,7 +540,8 @@ def score_lattice_batched(
 
 
 def _lattice_penalty(xvals, yvals, tvals, ct, ox, oy, *, grid_size, grid_res,
-                     dist_var_penalty, ang_var_penalty, karto=None):
+                     dist_var_penalty, ang_var_penalty, karto=None,
+                     cx=None, cy=None):
     """Batched distance/angle penalty factor (N, NX, NY, NT).
 
     Default: the reference's unclamped penalty
@@ -555,9 +556,17 @@ def _lattice_penalty(xvals, yvals, tvals, ct, ox, oy, *, grid_size, grid_res,
     clamped at the minimum penalties."""
     G = grid_size
     if karto is not None:
+        # OpenKarto measures the distance offset from the pass's SEARCH
+        # CENTER (rSearchCenter) — the coarse pass centers on the
+        # odometry prediction but the FINE pass centers on the coarse
+        # best pose, so the caller's (cx, cy) is authoritative; the
+        # ox/oy-derived form (== the odometry center) is only the
+        # fallback for legacy callers.
         dv, av, md, ma = karto
-        sx = ox + (G - 1) * grid_res / 2.0  # == the search center cx
-        sy = oy + (G - 1) * grid_res / 2.0
+        sx = cx if cx is not None else ox + (G - 1) * grid_res / 2.0
+        sy = cy if cy is not None else oy + (G - 1) * grid_res / 2.0
+        sx = jnp.asarray(sx)
+        sy = jnp.asarray(sy)
         sqd = (xvals[:, :, None] - sx[:, None, None]) ** 2 + (
             yvals[:, None, :] - sy[:, None, None]
         ) ** 2
@@ -695,7 +704,7 @@ def score_lattice_patch_batched(
         penalty = _lattice_penalty(
             xvals, yvals, tvals, ct, ox, oy, grid_size=G, grid_res=grid_res,
             dist_var_penalty=dist_var_penalty, ang_var_penalty=ang_var_penalty,
-            karto=karto_penalties,
+            karto=karto_penalties, cx=cx, cy=cy,
         )
     else:
         penalty = jnp.ones((), dtype=dtype)
@@ -860,7 +869,7 @@ def score_lattice_vmem_batched(
         penalty = _lattice_penalty(
             xvals, yvals, tvals, ct, ox, oy, grid_size=G, grid_res=grid_res,
             dist_var_penalty=dist_var_penalty, ang_var_penalty=ang_var_penalty,
-            karto=karto_penalties,
+            karto=karto_penalties, cx=cx, cy=cy,
         )
     else:
         penalty = jnp.ones((), dtype=dtype)
@@ -962,7 +971,7 @@ def score_lattice_mxu_batched(
         penalty = _lattice_penalty(
             xvals, yvals, tvals, ct, ox, oy, grid_size=G, grid_res=grid_res,
             dist_var_penalty=dist_var_penalty, ang_var_penalty=ang_var_penalty,
-            karto=karto_penalties,
+            karto=karto_penalties, cx=cx, cy=cy,
         )
     else:
         penalty = jnp.ones((), dtype=dtype)

@@ -986,16 +986,30 @@ class CorrelativeScanMatcher:
         s = 0.5 * cfg.search_size
         so = 0.5 * coarse_offset
         # full-lattice tie <=> the device mean equals the static lattice
-        # mean (center + the compiled center-0 offsets' mean)
+        # mean (center + the compiled center-0 offsets' mean).  The
+        # device mean is computed and stored in the matcher dtype — in
+        # f32, representation spacing at |x| ~ tens of meters is ~2e-6
+        # and the mean of ~1e3 candidates accumulates several ulps, so
+        # the tolerance must scale with dtype and magnitude (a fixed
+        # 1e-6 silently disabled the fixup away from the origin) while
+        # staying well below a quarter lattice step, the scale that
+        # separates a full tie from a partial one.
+        dt = np.dtype(self.dtype).type
+
+        def _tol(v, step):
+            return min(0.25 * step,
+                       max(1e-6, 256.0 * float(np.spacing(dt(abs(v) + 1.0)))))
+
         stat_x = cx + float(np.arange(-s, s, res * 2).mean())
         stat_y = cy + float(np.arange(-s, s, res * 2).mean())
         stat_t = ct + float(
             np.arange(-so, so, cfg.coarse_angle_resolution).mean()
         )
         if not (
-            abs(float(coarse[1]) - stat_x) < 1e-6
-            and abs(float(coarse[2]) - stat_y) < 1e-6
-            and abs(float(coarse[3]) - stat_t) < 1e-6
+            abs(float(coarse[1]) - stat_x) < _tol(stat_x, res * 2)
+            and abs(float(coarse[2]) - stat_y) < _tol(stat_y, res * 2)
+            and abs(float(coarse[3]) - stat_t)
+            < _tol(stat_t, cfg.coarse_angle_resolution)
         ):
             return coarse, fine
         bx = self._arange_mean(cx - s, cx + s, res * 2)

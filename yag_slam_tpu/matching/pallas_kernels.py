@@ -113,12 +113,14 @@ _KERNEL_REV = _kernel_rev()
 # message identifies a resource rejection are persisted; everything else is
 # remembered in-process only.
 _probe_session: dict = {}
+# Conservative: only messages that identify the MOSAIC/VMEM class of
+# rejection.  Broad allocator markers (RESOURCE_EXHAUSTED, "ran out of
+# memory") are deliberately absent — HBM exhaustion can be transient on a
+# shared device, and persisting such a False would permanently pin the
+# slow path, the exact failure mode this classification exists to avoid.
 _DETERMINISTIC_REJECT_MARKERS = (
     "vmem",            # "exceeds the scoped vmem limit" et al.
     "scoped",
-    "resource_exhausted",
-    "ran out of memory",
-    "exceeds available",
     "mosaic failed to compile",
     "not implemented",  # Mosaic lowering gaps are deterministic per version
     "unsupported",
