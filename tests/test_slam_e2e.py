@@ -166,3 +166,25 @@ def test_stream_matches_sequential_processing():
             [pb.x, pb.y, pb.euler[-1]], [pa.x, pa.y, pa.euler[-1]],
             atol=1e-9,
         )
+
+
+def test_karto_penalty_mode_e2e():
+    """A full 1-lap run with use_karto_penalties=True (OpenKarto's C++
+    penalty semantics) must still track, close the loop and beat raw
+    odometry — the mode changes the penalty surface, not the pipeline."""
+    gt, odom, scans = build_sequence(laps=2, seed=5)
+    seq = CorrelativeScanMatcher(dict(SEQ_CFG, use_karto_penalties=True),
+                                 dtype=jnp.float64)
+    loop = CorrelativeScanMatcher(dict(LOOP_CFG, use_karto_penalties=True),
+                                  loop=True, dtype=jnp.float64)
+    slam = GraphSlam(seq, loop, scan_buffer_len=10, loop_search_dist=2.0,
+                     loop_search_min_chain_size=5, min_response_coarse=0.35,
+                     min_response_fine=0.45)
+    for scan in scans:
+        slam.process_scan(scan)
+    assert slam.stats["loop_closures"] >= 1
+    est = trajectory_from_slam(slam)
+    slam_ate = ate_rmse(est, gt[:, :2], align=False)
+    odom_ate = ate_rmse(odom[:, :2], gt[:, :2], align=False)
+    assert slam_ate < 0.5 * odom_ate
+    assert slam_ate < 0.15, f"karto-mode ATE {slam_ate} vs odom {odom_ate}"

@@ -24,8 +24,10 @@ def run_carmen(args):
 
     scans = load_carmen_log(args.carmen, max_scans=args.max_scans)
     print(f"loaded {len(scans)} scans from {args.carmen}")
-    seq_cfg = {"range_threshold": args.range_threshold}
-    loop_cfg = {"range_threshold": args.range_threshold}
+    seq_cfg = {"range_threshold": args.range_threshold,
+               "use_karto_penalties": args.karto_penalties}
+    loop_cfg = {"range_threshold": args.range_threshold,
+                "use_karto_penalties": args.karto_penalties}
     if args.resolution is not None:
         seq_cfg["resolution"] = args.resolution
     if args.search_size is not None:
@@ -156,6 +158,10 @@ def main(argv=None):
     ap.add_argument("--loop-min-chain", type=int, default=10)
     ap.add_argument("--min-response-coarse", type=float, default=0.6)
     ap.add_argument("--min-response-fine", type=float, default=0.7)
+    ap.add_argument("--karto-penalties", action="store_true",
+                    help="score with OpenKarto's C++ penalty semantics "
+                         "(clamped minimums, search-center offsets) "
+                         "instead of the reference Python spec's")
     ap.add_argument("--stream", action="store_true",
                     help="streamed ingestion: device-chained match blocks "
                          "with loop closure at sync boundaries (same "
