@@ -233,6 +233,38 @@ def build_occupancy_padded(
 
 
 
+def dedup_scatter_cells(sy, sx, ok, n_cols):
+    """Sort each job's scatter cells, drop duplicate cells and compact
+    valid lanes to the front.
+
+    The occupancy scatter is an idempotent {0,1} max-write, so
+    deduplication is EXACT.  With a B-scan sliding window re-observing
+    the same surfaces, ~45% of valid lanes are duplicate cells and ~35%
+    of lanes are padding (bench shapes: 8192 lanes -> ~2800 unique
+    cells), and the Pallas scatter kernels' serialized per-point RMW
+    loop runs to the LAST valid lane — so sorting shrinks that loop ~3x
+    and makes the surviving RMWs spatially coherent (ascending rows).
+    Two vectorized XLA sorts replace serialized scalar work.
+
+    sy/sx: (N, M) int32 (invalid lanes sy = -1); returns
+    (sy', sx', m_used') with the same contract."""
+    from yag_slam_tpu.matching.pallas_kernels import scatter_used_lanes
+
+    big = jnp.iinfo(jnp.int32).max
+    key = jnp.where(ok, sy * n_cols + sx, big)
+    skey = jnp.sort(key, axis=1)
+    uniq = jnp.concatenate(
+        [jnp.ones_like(skey[:, :1], dtype=bool),
+         skey[:, 1:] != skey[:, :-1]],
+        axis=1,
+    ) & (skey != big)
+    ckey = jnp.sort(jnp.where(uniq, skey, big), axis=1)
+    valid = ckey != big
+    sy2 = jnp.where(valid, ckey // n_cols, -1).astype(jnp.int32)
+    sx2 = jnp.where(valid, ckey % n_cols, 0).astype(jnp.int32)
+    return sy2, sx2, scatter_used_lanes(valid)
+
+
 def build_occupancy_pallas(
     wx, wy, keep, ox, oy, sox, soy, *, G, S, h, Cpad, res, dtype,
     interpret=False,
@@ -246,7 +278,6 @@ def build_occupancy_pallas(
     from yag_slam_tpu.matching.pallas_kernels import (
         ROW_TILE,
         scatter_occupancy_pallas,
-        scatter_used_lanes,
     )
 
     assert 0 <= h < ROW_TILE, h
@@ -263,7 +294,8 @@ def build_occupancy_pallas(
     )
     sy = jnp.where(ok, sy.reshape(N, -1), -1).astype(jnp.int32)
     sx = jnp.where(ok, sx.reshape(N, -1), 0).astype(jnp.int32)
-    occ = scatter_occupancy_pallas(sy, sx, scatter_used_lanes(ok),
+    sy, sx, m_used = dedup_scatter_cells(sy, sx, ok, Cpad)
+    occ = scatter_occupancy_pallas(sy, sx, m_used,
                                    rows=rows, Cpad=Cpad,
                                    interpret=interpret)
     # smear must run at full precision: the Gaussian taps quantize to
@@ -281,9 +313,7 @@ def build_quantized_grid_fused(
     build_occupancy_padded -> smear -> quantize_grid -> (row_ok & col_ok)
     masking; returns (N, S, S) bfloat16 quantized subgrids (integer values
     in [0, 100], exact in bf16)."""
-    from yag_slam_tpu.matching.pallas_kernels import (
-        build_grid_fused, scatter_used_lanes,
-    )
+    from yag_slam_tpu.matching.pallas_kernels import build_grid_fused
 
     N = wx.shape[0]
     gx = world_to_grid_idx(wx, ox[:, None, None], res)
@@ -297,10 +327,11 @@ def build_quantized_grid_fused(
           & (sy < S + 2 * h)).reshape(N, -1)
     sy = jnp.where(ok, sy.reshape(N, -1), -1).astype(jnp.int32)
     sx = jnp.where(ok, sx.reshape(N, -1), 0).astype(jnp.int32)
+    sy, sx, m_used = dedup_scatter_cells(sy, sx, ok, Cpad)
     lim = jnp.stack(
         [G - soy.astype(jnp.int32), G - sox.astype(jnp.int32)], axis=1
     )
-    return build_grid_fused(sy, sx, lim, scatter_used_lanes(ok),
+    return build_grid_fused(sy, sx, lim, m_used,
                             S=S, h=h, taps=taps, Cpad=Cpad,
                             interpret=interpret)
 
