@@ -101,6 +101,35 @@ def test_response_expansion_triggers():
     assert len(offsets2) == 1
 
 
+def test_library_uploads_batched(monkeypatch):
+    """Scan uploads are deferred and flushed in ONE batched insert
+    dispatch per fields read (an RPC costs ~25 ms-1 s over a tunneled
+    TPU; per-scan inserts doubled the online paths' RPC count)."""
+    import numpy as np
+
+    from yag_slam_tpu.matching import matcher as M
+
+    calls = []
+    orig = M._library_insert
+
+    def counting(fields, rows, slots):
+        calls.append(len(np.asarray(slots)))
+        return orig(fields, rows, slots)
+
+    monkeypatch.setattr(M, "_library_insert", counting)
+    m = CorrelativeScanMatcher(CFG, use_pallas=False)
+    scans = world_scans(
+        [[0.1 * i, 0.05 * i, 0.02 * i] for i in range(12)], seed=3,
+        n_beams=200,
+    )
+    m.match_scan(scans[10], scans[:10])
+    # the first job's 11 scans went up as ONE padded batch, not 11
+    assert len(calls) == 1 and calls[0] >= 11, calls
+    m.match_scan(scans[11], scans[1:11])
+    # one more flush for the single new scan
+    assert len(calls) == 2, calls
+
+
 def test_viz_smoke(tmp_path):
     from yag_slam_tpu.slam import GraphSlam
     from yag_slam_tpu.utils.viz import save_slam_figure

@@ -151,16 +151,19 @@ def _donate_fields():
 
 @functools.lru_cache(maxsize=1)
 def _library_insert_fn():
+    # batched: `slots` (k,) int32, each rows[k] stacked along axis 0 — one
+    # dispatch uploads any number of scans (an RPC costs ~25 ms-1 s over
+    # the tunnel, so per-scan dispatches dominated the online paths)
     return jax.jit(
-        lambda fields, rows, slot: {
-            k: fields[k].at[slot].set(rows[k]) for k in fields
+        lambda fields, rows, slots: {
+            k: fields[k].at[slots].set(rows[k]) for k in fields
         },
         donate_argnums=_donate_fields(),
     )
 
 
-def _library_insert(fields, rows, slot):
-    return _library_insert_fn()(fields, rows, slot)
+def _library_insert(fields, rows, slots):
+    return _library_insert_fn()(fields, rows, slots)
 
 
 @functools.lru_cache(maxsize=1)
@@ -180,12 +183,20 @@ def _library_grow(fields, new_cap_zeros):
 
 class DeviceScanLibrary:
     """Device-resident store of scan matcher views: (K, P) arrays per
-    field, one upload per scan, index-addressed by match programs."""
+    field, index-addressed by match programs.
+
+    Uploads are DEFERRED: `ensure` assigns slots immediately (host
+    bookkeeping only) and queues the rows; the next read of `.fields`
+    flushes every queued scan in ONE batched device dispatch.  Over a
+    tunneled TPU an RPC costs ~25 ms-1 s, so the previous per-scan
+    insert dispatches doubled the online pipelines' RPC count (upload +
+    step per push); now a block of pushes costs one upload dispatch
+    total."""
 
     def __init__(self, dtype, initial_cap=128):
         self.dtype = dtype
         self.initial_cap = initial_cap
-        self.fields = None
+        self._fields = None
         self.P = 0
         self.K_cap = 0
         # slots are keyed by the identity of the scan's (shared) points
@@ -193,6 +204,14 @@ class DeviceScanLibrary:
         # scans — aliases the original's slot instead of re-uploading
         self._slots = {}
         self._scans = []  # strong refs keep identity keys unique
+        self._pending = []  # (slot, scan) queued for the next flush
+
+    @property
+    def fields(self):
+        """Device field dict, with any queued uploads flushed first (one
+        batched dispatch)."""
+        self.flush()
+        return self._fields
 
     def _field_zeros(self, K, P):
         return dict(
@@ -205,17 +224,19 @@ class DeviceScanLibrary:
         )
 
     def _rebuild(self, P):
-        """Point capacity changed: re-upload every stored scan at the new
-        width (rare — P only grows on bigger sensors)."""
+        """Point capacity changed: re-queue every stored scan at the new
+        width (rare — P only grows on bigger sensors); the next flush
+        re-uploads them all in one dispatch."""
         self.P = P
-        self.fields = self._field_zeros(self.K_cap, P)
-        for scan, slot in [(s, self._slots[id(s._points_cache)]) for s in self._scans]:
-            self._upload(scan, slot)
+        self._fields = self._field_zeros(self.K_cap, P)
+        self._pending = [
+            (self._slots[id(s._points_cache)], s) for s in self._scans
+        ]
 
-    def _upload(self, scan, slot):
+    def _rows(self, scan):
         v = scan_matcher_view(scan, self.P)
         np_dtype = np.dtype(self.dtype)
-        rows = dict(
+        return dict(
             lx=v["lx"].astype(np_dtype),
             ly=v["ly"].astype(np_dtype),
             anchor=v["anchor"],
@@ -223,16 +244,40 @@ class DeviceScanLibrary:
             has_run=v["has_run"],
             n=np.int32(v["n"]),
         )
-        self.fields = _library_insert(self.fields, rows, slot)
+
+    def flush(self):
+        """Upload every queued scan in one batched dispatch.  The batch
+        is padded to a power-of-two count by repeating the last entry
+        (duplicate scatter indices write identical rows, so the result is
+        well-defined) — each distinct count is its own compiled insert
+        program, and tunnel compiles are expensive."""
+        if not self._pending:
+            return
+        pending = self._pending
+        self._pending = []
+        k_pad = 1
+        while k_pad < len(pending):
+            k_pad *= 2
+        pending = pending + [pending[-1]] * (k_pad - len(pending))
+        rows = [self._rows(s) for _, s in pending]
+        slots = np.asarray([sl for sl, _ in pending], dtype=np.int32)
+        stacked = {
+            k: np.stack([r[k] for r in rows]) for k in rows[0]
+        }
+        self._fields = _library_insert(self._fields, stacked, slots)
 
     def ensure(self, scans, P):
-        """Make sure every scan is resident at point-capacity P; returns
-        slot indices aligned with `scans`."""
-        if self.fields is None:
+        """Make sure every scan has a slot at point-capacity P (rows are
+        queued; the actual upload happens at the next `.fields` read);
+        returns slot indices aligned with `scans`."""
+        if self._fields is None:
             self.P = P
             self.K_cap = self.initial_cap
-            self.fields = self._field_zeros(self.K_cap, P)
+            self._fields = self._field_zeros(self.K_cap, P)
         elif P > self.P:
+            # pending rows would be re-queued by _rebuild anyway (every
+            # stored scan is) — drop them instead of uploading stale-width
+            self._pending = []
             self._rebuild(P)
 
         out = []
@@ -241,14 +286,15 @@ class DeviceScanLibrary:
             if slot is None:
                 slot = len(self._scans)
                 if slot >= self.K_cap:
+                    self.flush()  # grow donates the old fields
                     new_cap = self.K_cap * 2
-                    self.fields = _library_grow(
-                        self.fields, self._field_zeros(new_cap, self.P)
+                    self._fields = _library_grow(
+                        self._fields, self._field_zeros(new_cap, self.P)
                     )
                     self.K_cap = new_cap
                 self._slots[id(s._points_cache)] = slot
                 self._scans.append(s)
-                self._upload(s, slot)
+                self._pending.append((slot, s))
             out.append(slot)
         return np.asarray(out, dtype=np.int32)
 
