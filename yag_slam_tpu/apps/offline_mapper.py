@@ -103,9 +103,11 @@ def run_synthetic(args):
     rng = np.random.default_rng(3)
     mapper = OnlineMapper(
         seq_config={"range_threshold": 5.0, "search_size": 0.5,
-                    "resolution": 0.02, "smear_deviation": 0.05},
+                    "resolution": 0.02, "smear_deviation": 0.05,
+                    "use_karto_penalties": args.karto_penalties},
         loop_config={"range_threshold": 5.0, "search_size": 2.0,
-                     "resolution": 0.05, "smear_deviation": 0.05},
+                     "resolution": 0.05, "smear_deviation": 0.05,
+                     "use_karto_penalties": args.karto_penalties},
         min_distance=0.0,  # pre-gated trajectory
         min_rotation=0.0,
         range_threshold=5.0,

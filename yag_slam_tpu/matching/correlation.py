@@ -590,14 +590,14 @@ def _lattice_penalty(xvals, yvals, tvals, ct, ox, oy, *, grid_size, grid_res,
         # OpenKarto measures the distance offset from the pass's SEARCH
         # CENTER (rSearchCenter) — the coarse pass centers on the
         # odometry prediction but the FINE pass centers on the coarse
-        # best pose, so the caller's (cx, cy) is authoritative; the
-        # ox/oy-derived form (== the odometry center) is only the
-        # fallback for legacy callers.
+        # best pose, so the caller must pass the pass's (cx, cy); the
+        # grid origin is NOT a valid substitute for the fine pass.
+        assert cx is not None and cy is not None, (
+            "karto penalties need the pass's search center"
+        )
         dv, av, md, ma = karto
-        sx = cx if cx is not None else ox + (G - 1) * grid_res / 2.0
-        sy = cy if cy is not None else oy + (G - 1) * grid_res / 2.0
-        sx = jnp.asarray(sx)
-        sy = jnp.asarray(sy)
+        sx = jnp.asarray(cx)
+        sy = jnp.asarray(cy)
         sqd = (xvals[:, :, None] - sx[:, None, None]) ** 2 + (
             yvals[:, None, :] - sy[:, None, None]
         ) ** 2
