@@ -84,12 +84,15 @@ def build_loop_graph(spa):
     return n
 
 
-def test_distributed_spa_matches_single_device():
+@pytest.mark.parametrize("mixed", [True, False])
+def test_distributed_spa_matches_single_device(mixed):
+    """Both the mixed-precision (f32 inner CG + f64 refinement) and the
+    all-f64 distributed solves must match the single-device optimum."""
     ref = SPA2d()
     build_loop_graph(ref)
     ref_cost = ref.compute(100, 1.0e-4, True, 1.0e-12, 50)
 
-    dist = DistributedSPA(default_mesh())
+    dist = DistributedSPA(default_mesh(), mixed=mixed)
     build_loop_graph(dist)
     dist_cost = dist.compute(100, 1.0e-4, True, 1.0e-12, 50)
 
