@@ -312,7 +312,16 @@ def main():
         pass
 
     scans = build_stream()
-    single_rate, srates, lockstep_rate, batched_rate, brates, res = bench_device(scans)
+    # the tunnel's remote-compile path can fail transiently (HTTP 500 /
+    # dropped body); with the persistent cache warm a retry is cheap, and
+    # one hiccup must not cost the whole benchmark artifact
+    try:
+        (single_rate, srates, lockstep_rate, batched_rate, brates,
+         res) = bench_device(scans)
+    except Exception as e:
+        _log(f"bench_device failed ({type(e).__name__}: {e}); retrying once")
+        (single_rate, srates, lockstep_rate, batched_rate, brates,
+         res) = bench_device(scans)
     _log("spa host")
     try:
         spa_time, spa_nodes = bench_spa()
