@@ -574,6 +574,43 @@ def test_match_many_expansion_batched():
                           single.best_pose.euler[-1], atol=1e-9)
 
 
+def test_dedup_scatter_cells_randomized():
+    """dedup_scatter_cells must preserve the exact occupied-cell SET per
+    job while compacting valid lanes to the front and upholding the
+    kernel contract (invalid lanes sy = -1, m_used = last valid + 1),
+    across random duplicate/invalid mixes including all-invalid jobs."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    N, M, rows, n_cols = 5, 256, 96, 128
+    sy = rng.integers(0, rows, (N, M)).astype(np.int32)
+    sx = rng.integers(0, n_cols, (N, M)).astype(np.int32)
+    # heavy duplication: collapse to few distinct cells per job
+    sy[1] = sy[1] % 7
+    sx[1] = sx[1] % 3
+    ok = rng.random((N, M)) > 0.4
+    ok[2] = False  # all-invalid job
+    sy_in = np.where(ok, sy, -1).astype(np.int32)
+    sx_in = np.where(ok, sx, 0).astype(np.int32)
+
+    sy2, sx2, m2 = (
+        np.asarray(v)
+        for v in C.dedup_scatter_cells(
+            jnp.asarray(sy_in), jnp.asarray(sx_in), jnp.asarray(ok), n_cols
+        )
+    )
+    for j in range(N):
+        want = {(int(a), int(b)) for a, b in zip(sy[j][ok[j]], sx[j][ok[j]])}
+        m = int(m2[j])
+        got_pairs = list(zip(sy2[j][:m], sx2[j][:m]))
+        got = {(int(a), int(b)) for a, b in got_pairs}
+        assert got == want, j
+        assert len(got_pairs) == len(got), "duplicates survived"
+        assert (sy2[j][:m] >= 0).all()
+        assert (sy2[j][m:] == -1).all(), "tail lanes must be invalid"
+    assert int(m2[2]) == 0
+
+
 def test_degenerate_fixup_survives_f32_far_from_origin():
     """The zero-response reference-exact fixup must still fire when the
     matcher runs in float32 and the trajectory sits tens of meters from

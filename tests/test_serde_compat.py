@@ -135,3 +135,59 @@ def test_config_extension_keys_wire_format():
     assert d2["minimum_distance_penalty"] == 0.7
     back = _deserialize(d2)
     assert back.use_karto_penalties and back.minimum_distance_penalty == 0.7
+
+
+def test_serde_roundtrip_randomized():
+    """Fuzz the registry serializer: random scans, transforms and configs
+    must round-trip exactly through ___name-tagged dicts -> msgpack ->
+    zlib (the persistence boundary the reference format defines)."""
+    import msgpack
+
+    from yag_slam_tpu.core.config import make_config
+    from yag_slam_tpu.core.scan import LocalizedRangeScan
+    from yag_slam_tpu.core.transform import Transform
+    from yag_slam_tpu.slam.serde import _deserialize, _serialize
+
+    rng = np.random.default_rng(23)
+    for trial in range(25):
+        n = int(rng.integers(4, 400))
+        ranges = rng.uniform(0.1, 30.0, n)
+        ranges[rng.random(n) < 0.1] = np.nan  # invalid beams
+        scan = LocalizedRangeScan(
+            ranges,
+            float(rng.uniform(-np.pi, 0)), float(rng.uniform(0, np.pi)),
+            float(rng.uniform(0.001, 0.1)), 0.0,
+            float(rng.uniform(10, 90)), float(rng.uniform(1, 20)),
+            float(rng.normal(0, 50)), float(rng.normal(0, 50)),
+            float(rng.uniform(-np.pi, np.pi)),
+        )
+        scan.num = int(rng.integers(0, 10000))
+        scan.corrected_pose = Transform.from_xyt(
+            float(rng.normal(0, 50)), float(rng.normal(0, 50)),
+            float(rng.uniform(-np.pi, np.pi)),
+        )
+        blob = zlib.compress(msgpack.packb(_serialize(scan)))
+        back = _deserialize(msgpack.unpackb(zlib.decompress(blob)))
+        np.testing.assert_array_equal(np.asarray(back.ranges),
+                                      np.asarray(scan.ranges))
+        assert back.num == scan.num
+        for attr in ("x", "y"):
+            assert getattr(back.odom_pose, attr) == getattr(
+                scan.odom_pose, attr)
+            assert getattr(back.corrected_pose, attr) == getattr(
+                scan.corrected_pose, attr)
+        assert np.isclose(back.corrected_pose.euler[-1],
+                          scan.corrected_pose.euler[-1])
+
+        res = float(rng.uniform(0.005, 0.1))
+        cfg = make_config({
+            "resolution": res,
+            "smear_deviation": float(rng.uniform(0.5 * res, 10 * res)),
+            "search_size": float(rng.uniform(0.1, 5.0)),
+            "range_threshold": float(rng.uniform(3, 30)),
+            "use_response_expansion": bool(rng.random() < 0.5),
+        })
+        cfg2 = _deserialize(
+            msgpack.unpackb(msgpack.packb(_serialize(cfg)))
+        )
+        assert cfg2 == cfg
