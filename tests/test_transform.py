@@ -88,3 +88,39 @@ def test_se2_batched():
     batched = se2_compose(a, b)
     for i in range(7):
         assert np.allclose(batched[i], se2_compose(a[i], b[i]))
+
+
+def test_algebra_identities_fuzz():
+    """Group-identity fuzz over random poses: a + (b - a) == b,
+    a + a.inverse() == identity, and the se2 array ops agree with the
+    quaternion-backed Transform throughout — including poses far from
+    the origin and yaws near the +/-pi wrap."""
+    rng = np.random.default_rng(41)
+    for _ in range(50):
+        ax, ay = rng.normal(0, 100, 2)
+        bx, by = rng.normal(0, 100, 2)
+        at = rng.uniform(-np.pi, np.pi)
+        bt = np.pi - 1e-6 if rng.random() < 0.2 else rng.uniform(-np.pi, np.pi)
+        a = Transform.from_xyt(ax, ay, at)
+        b = Transform.from_xyt(bx, by, bt)
+
+        # a + (b - a) == b
+        c = a + (b - a)
+        assert np.allclose([c.x, c.y], [b.x, b.y], atol=1e-9)
+        assert abs(se2_wrap(c.euler[-1] - b.euler[-1])) < 1e-9
+
+        # a + a^-1 == identity
+        e = a + a.inverse()
+        assert np.allclose([e.x, e.y], [0.0, 0.0], atol=1e-9)
+        assert abs(se2_wrap(e.euler[-1])) < 1e-9
+
+        # array ops match the Transform algebra
+        av = np.array([ax, ay, at])
+        bv = np.array([bx, by, bt])
+        rel = se2_relative(bv, av)
+        d = b - a
+        assert np.allclose(rel[:2], [d.x, d.y], atol=1e-9)
+        assert abs(se2_wrap(rel[2] - d.euler[-1])) < 1e-9
+        comp = se2_compose(av, rel)
+        assert np.allclose(comp[:2], [b.x, b.y], atol=1e-9)
+        assert abs(se2_wrap(comp[2] - bt)) < 1e-9
